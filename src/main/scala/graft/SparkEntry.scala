@@ -1,13 +1,45 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps every implemented operator (SURVEY.md §2 inventory) to a
+  * DataFrame program over the driver testdata; `oracleSql` gives the
+  * DuckDB-equivalent SQL with identical column names/rounding/order.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: quality-filter shape on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q01Agg(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg"             -> (Relational.q01Agg _),
+    "q02_stats"           -> (Relational.q02Stats _),
+    "q03_percentile"      -> (Relational.q03Percentile _),
+    "q04_join_broadcast"  -> (Relational.q04JoinBroadcast _),
+    "q05_join_shuffle"    -> (Relational.q05JoinShuffle _),
+    "q06_filter_pushdown" -> (Relational.q06FilterPushdown _),
+    "q07_union"           -> (Relational.q07Union _),
+    "q08_distinct"        -> (Relational.q08Distinct _),
+    "q17_topk"            -> (Relational.q17TopK _),
+    "q18_pivot"           -> (Relational.q18Pivot _),
+    "q27_sessionize"      -> (Relational.q27Sessionize _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg"             -> RelationalSql.q01Agg,
+    "q02_stats"           -> RelationalSql.q02Stats,
+    "q03_percentile"      -> RelationalSql.q03Percentile,
+    "q04_join_broadcast"  -> RelationalSql.q04JoinBroadcast,
+    "q05_join_shuffle"    -> RelationalSql.q05JoinShuffle,
+    "q06_filter_pushdown" -> RelationalSql.q06FilterPushdown,
+    "q07_union"           -> RelationalSql.q07Union,
+    "q08_distinct"        -> RelationalSql.q08Distinct,
+    "q17_topk"            -> RelationalSql.q17TopK,
+    "q18_pivot"           -> RelationalSql.q18Pivot,
+    "q27_sessionize"      -> RelationalSql.q27Sessionize,
+  )
 }

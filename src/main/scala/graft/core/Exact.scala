@@ -1,0 +1,42 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Determinism-safe numeric aggregation helpers.
+  *
+  * Floating-point `sum(double)` is order-dependent, and Spark's partial
+  * aggregation order varies with partitioning — so the same query could hash
+  * differently across runs and against the DuckDB oracle. The fix: sum in
+  * exact decimal arithmetic (associative/commutative), convert the exact
+  * total to double once at the end. Downstream double arithmetic on identical
+  * inputs is then bit-identical everywhere (IEEE-754).
+  *
+  * This is also the 100 TB-scale answer: decimal hash-aggregation is still
+  * map-side partial + final, no extra shuffle, and the result no longer
+  * depends on partition count — required for the north rule's byte-stable
+  * outputs across retries/partitionings (SURVEY.md §4 determinism notes).
+  */
+object Exact {
+
+  /** Exact sum of a numeric column: decimal-cast per row, decimal sum, double out. */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(28, scale))).cast("double")
+
+  /** Exact mean = exact sum / count (double division of identical operands). */
+  def dmean(c: Column, scale: Int = 2): Column =
+    dsum(c, scale) / count(lit(1))
+
+  /** Population standard deviation from exact moments:
+    * sqrt(E[x^2] - E[x]^2). The reference uses population sigma (np.std,
+    * ddof=0 — SURVEY.md A2); moments are decimal-summed so the value is
+    * partition-count-independent.
+    */
+  def dstddevPop(c: Column, scale: Int = 2): Column = {
+    val n  = count(lit(1)).cast("double")
+    val s  = dsum(c, scale)
+    val sq = sum((c * c).cast(DecimalType(38, scale * 2))).cast("double")
+    sqrt(sq / n - (s / n) * (s / n))
+  }
+}

@@ -1,0 +1,34 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the engine.
+  *
+  * Settings follow SURVEY.md §4: AQE on (skew-join split + partition
+  * coalescing replace hand-scheduling at scale), shuffle partitions sized to
+  * local cores (never the 200 default in local mode), UTC timezone for
+  * byte-stable timestamp semantics (oracle parity), ANSI off so arithmetic
+  * matches the permissive reference semantics (`pd.to_numeric`-style).
+  */
+object GraftSession {
+
+  /** Apply engine defaults onto an arbitrary builder. */
+  def tuned(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.compression.codec", "zstd")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session with `cores` threads; shuffle partitions match cores. */
+  def local(cores: Int, appName: String = "graft"): SparkSession = {
+    val s = tuned(
+      SparkSession.builder().master(s"local[$cores]").appName(appName),
+      shufflePartitions = cores
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,275 @@
+package graft.operators
+
+import graft.core.Exact._
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Core relational operators (SURVEY.md §2.1/§2.2/§2.3/§2.4/§2.6/§2.7):
+  * scan→filter→project with pushdown, hash aggregation with exact moments,
+  * broadcast + shuffle joins, union, distinct, top-k, pivot-by-case.
+  *
+  * Each query has a DuckDB-equivalent oracle SQL in [[RelationalSql]]; column
+  * names and row order match exactly. All double outputs are either exact
+  * (decimal-summed, see [[graft.core.Exact]]) or rounded where the two
+  * engines may differ in last-bit interpolation.
+  */
+object Relational {
+
+  /** A1-family hash aggregation (TPC-H Q1 shape). Scan-side filter pushes to
+    * parquet; aggregation is partial+final via HashAggregateExec — no
+    * driver-side work. Reference analogue: per-source mean over the fact
+    * table (src/app.py:611).
+    */
+  def q01Agg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2))), 4)
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** A1/A2: exact mean + population sigma per group (np.std ddof=0 parity,
+    * src/app.py:612). Moments are decimal-summed → partition-independent.
+    */
+  def q02Stats(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(dmean(col("l_quantity")), 6).as("mean_qty"),
+        round(dstddevPop(col("l_quantity")), 6).as("std_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** A3/A4: exact linear-interpolation percentiles + IQR per group
+    * (np.percentile parity, src/app.py:1205-1211). Uses the exact
+    * `percentile` builtin, NOT percentile_approx — approx would flip
+    * borderline fence decisions (SURVEY.md A3).
+    */
+  def q03Percentile(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    ev.groupBy(col("event_type"))
+      .agg(
+        round(percentile(col("value"), lit(0.25)), 4).as("q1"),
+        round(percentile(col("value"), lit(0.5)), 4).as("med"),
+        round(percentile(col("value"), lit(0.75)), 4).as("q3"),
+        round(percentile(col("value"), lit(0.75)) - percentile(col("value"), lit(0.25)), 4)
+          .as("iqr"))
+      .orderBy("event_type")
+  }
+
+  /** J1-family: small-dimension joins — both dims explicitly broadcast, so
+    * the plan is scan(customer) + two BroadcastHashJoins, zero shuffle for
+    * the join itself (the only exchange is the final groupBy).
+    */
+  def q04JoinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_cust"), round(dsum(col("c_acctbal")), 2).as("sum_bal"))
+      .orderBy("r_name")
+  }
+
+  /** J2-family: large-×-large equi-join. At 100 TB this is a shuffle
+    * (sort-merge or shuffled-hash) on the join key; AQE handles skew. The
+    * revenue product is computed in exact decimal before summing.
+    */
+  def q05JoinShuffle(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o  = Tables.orders(s, dir)
+    val revenue = col("l_extendedprice").cast(DecimalType(18, 2)) *
+      (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2)))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"), sum(revenue).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** P4/P8: predicate + projection pushdown. The physical scan must show
+    * PushedFilters on l_shipdate/l_quantity and a 3-column ReadSchema.
+    * Reference analogue: year-range probe (src/app.py:1177-1188) as a
+    * between predicate instead of a hand-rolled dict.
+    */
+  def q06FilterPushdown(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.filter(
+        col("l_shipdate").between(
+          lit("1994-01-01").cast("timestamp"), lit("1995-12-31").cast("timestamp")) &&
+        col("l_quantity") < 25)
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  /** U1: union of heterogeneous source partitions with a source label —
+    * the reference's four-source concat (src/app.py:1791) as unionByName.
+    */
+  def q07Union(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .select(lit("customer").as("side"), col("c_nationkey").cast("int").as("nationkey"),
+        col("c_acctbal").as("bal"))
+    val p = Tables.supplier(s, dir)
+      .select(lit("supplier").as("side"), col("s_nationkey").cast("int").as("nationkey"),
+        col("s_acctbal").as("bal"))
+    c.unionByName(p)
+      .groupBy(col("side"), col("nationkey"))
+      .agg(count(lit(1)).as("n"), round(dsum(col("bal")), 2).as("sum_bal"))
+      .orderBy("side", "nationkey")
+  }
+
+  /** A7: distinct (the reference's order-preserving species dedup,
+    * src/app.py:173 — order irrelevant after explicit sort).
+    */
+  def q08Distinct(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), col("source")).distinct()
+      .orderBy("lang", "source")
+
+  /** O-family top-k per group: window row_number with deterministic
+    * tie-break, filter k — the scalable top-k (no global sort; rank is
+    * computed within each hash partition of the window key).
+    */
+  def q17TopK(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    o.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("o_orderpriority"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderpriority", "rk")
+  }
+
+  /** W5-adjacent pivot shape (outlierFinders.py:96-120 source alignment):
+    * conditional aggregation by event_type per month — expressed as
+    * CASE-WHEN aggregates so the oracle SQL is portable.
+    */
+  def q18Pivot(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def cnt(t: String)  = count(when(col("event_type") === t, 1)).as(s"n_$t")
+    def sm(t: String)   = round(dsum(when(col("event_type") === t, col("value")).otherwise(lit(null)), 4), 4).as(s"v_$t")
+    ev.withColumn("ym", year(col("ts")) * 100 + month(col("ts")))
+      .groupBy(col("ym"))
+      .agg(cnt("click"), cnt("view"), cnt("purchase"), sm("purchase"), sm("click"))
+      .orderBy("ym")
+  }
+
+  /** Sessionization: stateful gap detection via window lag + running sum —
+    * the batch analogue of flatMapGroupsWithState sessionization. Gap
+    * threshold 30 min; deterministic ordering by (ts, event_id).
+    */
+  def q27Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gap = unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(byUser))
+    ev.withColumn("new_sess", when(gap.isNull || gap > 1800, 1).otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"))
+      .agg(max(col("sess_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+}
+
+/** DuckDB oracle SQL for [[Relational]] — identical column names, aliases,
+  * rounding, and ORDER BY as the Spark plans above.
+  */
+object RelationalSql {
+  val q01Agg: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  val q02Stats: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*), 6) AS mean_qty,
+      |  ROUND(SQRT(CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)
+      |    - (CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*))
+      |      * (CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*))), 6) AS std_qty,
+      |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  val q03Percentile: String =
+    """SELECT event_type,
+      |  ROUND(quantile_cont(value, 0.25), 4) AS q1,
+      |  ROUND(quantile_cont(value, 0.5), 4) AS med,
+      |  ROUND(quantile_cont(value, 0.75), 4) AS q3,
+      |  ROUND(quantile_cont(value, 0.75) - quantile_cont(value, 0.25), 4) AS iqr
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val q04JoinBroadcast: String =
+    """SELECT r_name, COUNT(*) AS n_cust,
+      |  ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE), 2) AS sum_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  val q05JoinShuffle: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  val q06FilterPushdown: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1994-01-01' AND TIMESTAMP '1995-12-31'
+      |  AND l_quantity < 25""".stripMargin
+
+  val q07Union: String =
+    """SELECT side, nationkey, COUNT(*) AS n,
+      |  ROUND(CAST(SUM(CAST(bal AS DECIMAL(28,2))) AS DOUBLE), 2) AS sum_bal
+      |FROM (
+      |  SELECT 'customer' AS side, CAST(c_nationkey AS INTEGER) AS nationkey, c_acctbal AS bal FROM customer
+      |  UNION ALL
+      |  SELECT 'supplier' AS side, CAST(s_nationkey AS INTEGER) AS nationkey, s_acctbal AS bal FROM supplier
+      |) GROUP BY side, nationkey ORDER BY side, nationkey""".stripMargin
+
+  val q08Distinct: String =
+    "SELECT DISTINCT lang, source FROM documents ORDER BY lang, source"
+
+  val q17TopK: String =
+    """SELECT o_orderpriority, rk, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      |  FROM orders
+      |) WHERE rk <= 5 ORDER BY o_orderpriority, rk""".stripMargin
+
+  val q18Pivot: String =
+    """SELECT CAST(year(ts)*100 + month(ts) AS INTEGER) AS ym,
+      |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+      |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+      |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+      |  ROUND(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(28,4)) END) AS DOUBLE), 4) AS v_purchase,
+      |  ROUND(CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(28,4)) END) AS DOUBLE), 4) AS v_click
+      |FROM events GROUP BY 1 ORDER BY ym""".stripMargin
+
+  val q27Sessionize: String =
+    """SELECT user_id, CAST(MAX(sess_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
+      |  SELECT user_id,
+      |    SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM (
+      |    SELECT user_id, ts, event_id,
+      |      epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+      |    FROM events
+      |  )
+      |) GROUP BY user_id ORDER BY user_id""".stripMargin
+}

@@ -1,0 +1,48 @@
+package graft
+
+import graft.core.GraftSession
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + determinism spec for the relational operator family.
+  *
+  * Exact-value parity vs DuckDB is the driver's gate (Verify + oracleSql);
+  * here we assert structural invariants: non-empty results, stable schema,
+  * and partition-count independence (local[2] vs local[4] byte-equal rows) —
+  * the SURVEY.md §5.4 invariant that catches order-dependent float sums.
+  */
+class RelationalSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.local(4, "relational-spec")
+
+  test("all registered queries return rows with matching oracle keys") {
+    val qs = SparkEntry.queries
+    assert(qs.nonEmpty)
+    qs.foreach { case (name, fn) =>
+      val df = fn(spark, dir)
+      assert(df.count() > 0, s"$name returned no rows")
+    }
+    // every oracle key must have a query
+    SparkEntry.oracleSql.keys.foreach(k => assert(qs.contains(k), s"oracle $k has no query"))
+  }
+
+  test("results are independent of shuffle partition count") {
+    val a = spark.conf.get("spark.sql.shuffle.partitions")
+    def snapshot(): Map[String, Seq[String]] =
+      SparkEntry.queries.map { case (n, fn) =>
+        n -> fn(spark, dir).collect().toSeq.map(_.toString)
+      }
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    val s2 = snapshot()
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    val s7 = snapshot()
+    spark.conf.set("spark.sql.shuffle.partitions", a)
+    s2.foreach { case (n, rows) =>
+      assert(rows == s7(n), s"$n differs across partition counts")
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
