@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators._
+import graft.pipeline.DocumentsAdapter
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -11,9 +12,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship: quality-filter shape on sf=0.001; driver smoke-checks rows>0. */
+  /** Flagship: the full quality-filter pipeline on sf=0.001 documents;
+    * driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q01Agg(spark, "/root/testdata/sf0.001")
+    DocumentsAdapter.qualityFilterQuery(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_agg"             -> (Relational.q01Agg _),
@@ -27,6 +30,10 @@ object SparkEntry {
     "q17_topk"            -> (Relational.q17TopK _),
     "q18_pivot"           -> (Relational.q18Pivot _),
     "q27_sessionize"      -> (Relational.q27Sessionize _),
+    // flagship pipeline (not SQL-expressible: broadcast-model stages) —
+    // driver records rows-only checks for these two.
+    "q30_quality_filter"  -> (DocumentsAdapter.qualityFilterQuery _),
+    "q31_qf_metrics"      -> (DocumentsAdapter.metricsQuery _),
   )
 
   def oracleSql: Map[String, String] = Map(

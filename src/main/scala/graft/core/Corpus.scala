@@ -1,0 +1,152 @@
+package graft.core
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** A row of the corpus table — the `input_hint` shape from BASELINE.json:
+  * an Iceberg-style table of source-code files.
+  */
+case class SourceFile(
+    repo: String,
+    path: String,
+    commit: String,
+    lang: String,
+    content: String)
+
+/** Deterministic synthetic corpus generator (FIXTURES.md §1).
+  *
+  * Fully distributed and partition-independent: row i is a pure function of
+  * (seed, i) via a SplittableRandom seeded per row, so the same (seed, n)
+  * yields byte-identical content at any parallelism — required for the
+  * determinism invariants (SURVEY.md §5.4) and for reproducible benchmarks.
+  *
+  * Coverage per FIXTURES.md: several languages with correlated extensions,
+  * label/content disagreements, minified one-liners, binary-ish blobs,
+  * high repetition, empty files, PII targets (emails, IPv4, AWS keys,
+  * phones, secrets), Zipf-skewed repos (hot keys for skew handling tests),
+  * duplicate (repo,path) across commits.
+  */
+object Corpus {
+
+  val langs: Vector[String] =
+    Vector("scala", "python", "java", "c", "javascript", "markdown")
+
+  private val ext = Map(
+    "scala" -> "scala", "python" -> "py", "java" -> "java",
+    "c" -> "c", "javascript" -> "js", "markdown" -> "md")
+
+  private val keywords: Map[String, Vector[String]] = Map(
+    "scala" -> Vector("def", "val", "object", "case", "class", "extends", "match", "implicit", "trait", "sealed", "override", "lazy", "yield", "import org.apache", "=>"),
+    "python" -> Vector("def", "self", "import", "class", "return", "lambda", "yield", "None", "True", "elif", "with open", "print", "raise", "assert", "__init__"),
+    "java" -> Vector("public", "static", "void", "class", "private", "final", "extends", "implements", "new", "return", "throws", "interface", "package", "@Override", "null"),
+    "c" -> Vector("int", "char", "void", "struct", "static", "return", "sizeof", "malloc", "free", "#include", "#define", "typedef", "const", "unsigned", "printf"),
+    "javascript" -> Vector("function", "const", "let", "var", "return", "async", "await", "export", "require", "module.exports", "=>", "undefined", "console.log", "typeof", "new"),
+    "markdown" -> Vector("#", "##", "###", "the", "and", "this", "for", "usage", "example", "install", "documentation", "see", "note", "license", "build"))
+
+  private val idents = Vector(
+    "data", "value", "result", "index", "count", "buffer", "name", "size",
+    "item", "node", "list", "key", "config", "handler", "stream", "batch",
+    "query", "table", "row", "filter", "merge", "parse", "token", "state")
+
+  private def mix(seed: Long, i: Long): Long = {
+    var z = seed ^ (i * 0x9e3779b97f4a7c15L)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Generate row i deterministically. Public so the sequential oracle can
+    * rebuild the exact corpus without Spark.
+    */
+  def genRow(seed: Long, i: Long): SourceFile = {
+    val rng = new java.util.SplittableRandom(mix(seed, i))
+    def pick[T](v: Vector[T]): T = v(rng.nextInt(v.size))
+
+    // Zipf-ish repo skew: u^4 concentrates mass on low repo ids (hot keys).
+    val u = rng.nextDouble()
+    val repoId = (u * u * u * u * 997).toInt
+    val repo = f"org${repoId % 53}%03d/repo$repoId%04d"
+
+    val trueLang = langs(rng.nextInt(langs.size))
+    // 3% mislabeled lang (langid-disagreement coverage)
+    val label = if (rng.nextInt(100) < 3) langs(rng.nextInt(langs.size)) else trueLang
+    // 5% extension/lang mismatch
+    val extension = if (rng.nextInt(100) < 5) pick(ext.values.toVector) else ext(trueLang)
+    // duplicate (repo,path) across commits: small path space per repo
+    val path = s"src/${pick(idents)}/${pick(idents)}$$${rng.nextInt(40)}.$extension"
+    val commit = {
+      val sb = new StringBuilder(40)
+      var k = 0
+      while (k < 40) { sb.append("0123456789abcdef".charAt(rng.nextInt(16))); k += 1 }
+      sb.toString
+    }
+
+    val kw = keywords(trueLang)
+    def word(): String =
+      if (rng.nextInt(10) < 6) pick(kw) else pick(idents)
+    def codeLine(): String = {
+      val n = 2 + rng.nextInt(9)
+      val sb = new StringBuilder("  " * rng.nextInt(4))
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(if (rng.nextInt(8) == 0) "(" else " ")
+        sb.append(word())
+        k += 1
+      }
+      if (rng.nextInt(4) == 0) sb.append(";")
+      sb.toString
+    }
+    def piiLine(): String = rng.nextInt(5) match {
+      case 0 => s"// contact ${pick(idents)}.${pick(idents)}@example${rng.nextInt(9)}.com for access"
+      case 1 => s"# host = ${rng.nextInt(256)}.${rng.nextInt(256)}.${rng.nextInt(256)}.${rng.nextInt(256)}"
+      case 2 =>
+        val sb = new StringBuilder("// aws AKIA")
+        var k = 0
+        while (k < 16) { sb.append("ABCDEFGHIJKLMNOPQRSTUVWXYZ234567".charAt(rng.nextInt(32))); k += 1 }
+        sb.toString
+      case 3 => s"// call +1-${200 + rng.nextInt(700)}-555-${1000 + rng.nextInt(9000)}"
+      case _ => s"""password = "${pick(idents)}${rng.nextInt(100000)}secret""""
+    }
+
+    val roll = rng.nextInt(100)
+    val content: String =
+      if (roll < 2) { // empty / whitespace-only
+        if (rng.nextBoolean()) "" else "  \n\n  \n"
+      } else if (roll < 7) { // minified one-liner (extreme max line length)
+        val sb = new StringBuilder
+        while (sb.length < 2000 + rng.nextInt(6000)) { sb.append(word()); sb.append(if (rng.nextInt(6) == 0) ";" else "(") }
+        sb.toString
+      } else if (roll < 11) { // binary-ish blob (low alnum ratio)
+        val sb = new StringBuilder
+        val m = 300 + rng.nextInt(1500)
+        var k = 0
+        while (k < m) {
+          sb.append((rng.nextInt(0x2ff0) + 0x10).toChar)
+          k += 1
+        }
+        sb.toString
+      } else if (roll < 15) { // high repetition: one line duplicated
+        val l = codeLine()
+        val m = 20 + rng.nextInt(80)
+        Vector.fill(m)(l).mkString("\n")
+      } else { // normal code, possibly PII-laced (roll 15..24 → PII)
+        val nLines = 10 + rng.nextInt(70)
+        val lines = Vector.fill(nLines)(codeLine())
+        val withPii =
+          if (roll < 25) {
+            val at = rng.nextInt(lines.size)
+            lines.updated(at, piiLine())
+          } else lines
+        withPii.mkString("\n")
+      }
+
+    SourceFile(repo, path, commit, label, content)
+  }
+
+  /** Distributed generation: `numParts` tasks, each computing its id range. */
+  def generate(spark: SparkSession, n: Long, seed: Long = 42L, numParts: Int = 32): Dataset[SourceFile] = {
+    import spark.implicits._
+    spark.range(0, n, 1, numParts).mapPartitions { it =>
+      it.map(i => genRow(seed, i))
+    }
+  }
+}

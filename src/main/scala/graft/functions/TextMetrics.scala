@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-file heuristic metric columns — the engine's analogue of the
+  * reference's per-row derived series (SURVEY.md §7.1: W1/W2 → per-file
+  * metrics). All pure Catalyst column expressions: codegen'd, no UDFs, so
+  * they stay inside WholeStageCodegen and vectorize over the parquet scan.
+  *
+  * Exact semantics are mirrored 1:1 by [[graft.oracle.SeqOracle]] — any
+  * change here must change the oracle identically (the F1 gate depends on
+  * it). Note: Spark `split` keeps trailing empty strings (Java split with
+  * limit -1); `length` counts codepoints.
+  */
+object TextMetrics {
+
+  /** Control chars (minus \t\n\r) or the Unicode replacement char — the
+    * "invalid encoding" fingerprint after JVM decoding.
+    */
+  val BadCharPattern = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\uFFFD]"
+
+  def lines(c: Column): Column = split(c, "\n", -1)
+
+  def metricColumns(content: Column): Seq[(String, Column)] = {
+    val ls = lines(content)
+    val lineLens = transform(ls, l => length(l))
+    val nChars = length(content)
+    val nLines = size(ls)
+    val alnum = length(regexp_replace(content, "[^A-Za-z0-9]", ""))
+    val nonSpace = length(regexp_replace(content, "\\s", ""))
+    val words = filter(split(content, "\\s+", -1), w => length(w) > 0)
+    val nWords = size(words)
+    Seq(
+      "n_chars" -> nChars,
+      "n_lines" -> nLines,
+      "max_line_len" -> coalesce(array_max(lineLens), lit(0)),
+      "avg_line_len" -> (nChars.cast("double") / nLines),
+      "alnum_ratio" -> when(nChars === 0, lit(0.0))
+        .otherwise(alnum.cast("double") / nChars),
+      "dup_line_ratio" -> when(nLines === 0, lit(0.0))
+        .otherwise(lit(1.0) - size(array_distinct(ls)).cast("double") / nLines),
+      "n_words" -> nWords,
+      "mean_word_len" -> when(nWords === 0, lit(0.0))
+        .otherwise(nonSpace.cast("double") / nWords),
+      "has_bad_chars" -> content.rlike(BadCharPattern)
+    )
+  }
+
+  /** Attach all metric columns to `df` (content column named `content`). */
+  def withMetrics(df: DataFrame, contentCol: String = "content"): DataFrame =
+    metricColumns(col(contentCol)).foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+}

@@ -1,0 +1,110 @@
+package graft.lm
+
+import graft.core.SourceFile
+import org.apache.spark.sql.Dataset
+import scala.collection.mutable
+
+/** fastText-style language identification, built from scratch (north rule:
+  * no external model files, zero egress).
+  *
+  * Model: multinomial Naive Bayes over HASHED character trigrams (2^16
+  * buckets), add-1 smoothed. Training is a distributed count aggregation
+  * with per-partition combine (map-side pre-aggregation in mapPartitions,
+  * then a groupBy sum over at most |langs|·2^16 rows); integer counts are
+  * associative+commutative, so the model is bit-identical at any
+  * parallelism. Inference is pure per-row math over a broadcast model —
+  * mapPartitions-batched, CPU-bound, no driver round-trips (north_star
+  * shape).
+  */
+object LangId {
+  val Buckets: Int = 1 << 16
+
+  /** Deterministic trigram bucket: polynomial hash of 3 chars. */
+  @inline def bucket(c0: Char, c1: Char, c2: Char): Int =
+    ((c0 * 31 + c1) * 31 + c2) & (Buckets - 1)
+
+  /** Per-document bucket counts (single pass over content). */
+  def docBuckets(s: String): mutable.LongMap[Int] = {
+    val m = new mutable.LongMap[Int]()
+    var i = 0
+    val n = s.length
+    while (i + 2 < n) {
+      val b = bucket(s.charAt(i), s.charAt(i + 1), s.charAt(i + 2))
+      m(b) = m.getOrElse(b, 0) + 1
+      i += 1
+    }
+    m
+  }
+
+  final class Model(
+      val langs: Array[String],
+      val logPrior: Array[Double],
+      val logProb: Array[Array[Double]]) extends Serializable {
+
+    /** Returns (bestLang, margin) — margin is the per-trigram log-odds gap
+      * between best and runner-up (confidence for the lang_mismatch rule).
+      */
+    def predict(content: String): (String, Double) = {
+      if (langs.length == 0) return ("und", 0.0)
+      val bs = docBuckets(content)
+      var total = 0L
+      val scores = new Array[Double](langs.length)
+      var l = 0
+      while (l < langs.length) { scores(l) = logPrior(l); l += 1 }
+      bs.foreachEntry { (b, c) =>
+        total += c
+        var k = 0
+        while (k < langs.length) { scores(k) += c * logProb(k)(b.toInt); k += 1 }
+      }
+      var best = 0
+      var second = -1
+      l = 1
+      while (l < langs.length) {
+        if (scores(l) > scores(best)) { second = best; best = l }
+        else if (second < 0 || scores(l) > scores(second)) second = l
+        l += 1
+      }
+      val margin =
+        if (second < 0 || total == 0) 0.0
+        else (scores(best) - scores(second)) / total.toDouble
+      (langs(best), margin)
+    }
+  }
+
+  /** Distributed training over a labeled corpus. `labelOf`/`textOf` default
+    * to the SourceFile fields.
+    */
+  def train(ds: Dataset[SourceFile]): Model = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    // per-partition combine: (lang, bucket) -> count
+    val counts = ds.mapPartitions { it =>
+      val acc = new mutable.HashMap[(String, Int), Long]()
+      it.foreach { f =>
+        LangId.docBuckets(f.content).foreachEntry { (b, c) =>
+          val k = (f.lang, b.toInt)
+          acc(k) = acc.getOrElse(k, 0L) + c
+        }
+      }
+      acc.iterator.map { case ((l, b), c) => (l, b, c) }
+    }.toDF("lang", "bucket", "cnt")
+      .groupBy("lang", "bucket").agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+      .collect()
+
+    val docCounts = ds.groupByKey(_.lang).count().collect().sortBy(_._1)
+    val langs = docCounts.map(_._1)
+    val idx = langs.zipWithIndex.toMap
+    val totalDocs = docCounts.map(_._2).sum.toDouble
+    val logPrior = docCounts.map(dc => math.log(dc._2 / totalDocs))
+    val raw = Array.fill(langs.length)(new Array[Long](Buckets))
+    counts.foreach { r =>
+      val l = idx.getOrElse(r.getString(0), -1)
+      if (l >= 0) raw(l)(r.getInt(1)) = r.getLong(2)
+    }
+    val logProb = raw.map { arr =>
+      val tot = arr.sum.toDouble + Buckets
+      arr.map(c => math.log((c + 1) / tot))
+    }
+    new Model(langs, logPrior, logProb)
+  }
+}

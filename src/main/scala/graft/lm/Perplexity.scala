@@ -1,0 +1,87 @@
+package graft.lm
+
+import graft.core.SourceFile
+import org.apache.spark.sql.Dataset
+import scala.collection.mutable
+
+/** KenLM-style n-gram perplexity scorer, from scratch (north rule).
+  *
+  * Model: word-bigram LM over HASHED tokens (2^18 buckets), additive
+  * smoothing: P(w2|w1) = (c(b12) + k) / (c(b1) + k·B). Doc score is
+  * perplexity = exp(mean NLL over bigrams), computed in a fixed
+  * left-to-right fold so the value is a pure function of content.
+  *
+  * Training is the same map-side-combine count aggregation as
+  * [[LangId.train]] (associative integer counts ⇒ parallelism-independent
+  * model); inference reads two broadcast long-arrays — allocation-free per
+  * token, mapPartitions-batched.
+  */
+object Perplexity {
+  val Buckets: Int = 1 << 18
+  val K: Double = 0.5
+
+  @inline def uniBucket(w: String): Int = (w.hashCode & 0x7fffffff) % Buckets
+  @inline def biBucket(b1: Int, b2: Int): Int =
+    ((b1 * 31 + b2) & 0x7fffffff) % Buckets
+
+  /** Whitespace tokenization, empties dropped — must match the oracle. */
+  def tokens(s: String): Array[String] =
+    s.split("\\s+", -1).filter(_.nonEmpty)
+
+  final class Model(val uni: Array[Long], val bi: Array[Long]) extends Serializable {
+    /** exp(mean negative log prob) over bigrams; 0.0 for docs with <2 tokens. */
+    def perplexity(content: String): Double = {
+      val ts = tokens(content)
+      if (ts.length < 2) return 0.0
+      var nll = 0.0
+      var prev = uniBucket(ts(0))
+      var i = 1
+      while (i < ts.length) {
+        val cur = uniBucket(ts(i))
+        val b12 = biBucket(prev, cur)
+        val p = (bi(b12) + K) / (uni(prev) + K * Buckets)
+        nll -= math.log(p)
+        prev = cur
+        i += 1
+      }
+      math.exp(nll / (ts.length - 1))
+    }
+  }
+
+  def train(ds: Dataset[SourceFile]): Model = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val counts = ds.mapPartitions { it =>
+      val uniAcc = new mutable.LongMap[Long]()
+      val biAcc = new mutable.LongMap[Long]()
+      it.foreach { f =>
+        val ts = tokens(f.content)
+        if (ts.nonEmpty) {
+          var prev = uniBucket(ts(0))
+          uniAcc(prev) = uniAcc.getOrElse(prev.toLong, 0L) + 1
+          var i = 1
+          while (i < ts.length) {
+            val cur = uniBucket(ts(i))
+            uniAcc(cur) = uniAcc.getOrElse(cur.toLong, 0L) + 1
+            val b = biBucket(prev, cur)
+            biAcc(b) = biAcc.getOrElse(b.toLong, 0L) + 1
+            prev = cur
+            i += 1
+          }
+        }
+      }
+      uniAcc.iterator.map { case (b, c) => (0, b.toInt, c) } ++
+        biAcc.iterator.map { case (b, c) => (1, b.toInt, c) }
+    }.toDF("kind", "bucket", "cnt")
+      .groupBy("kind", "bucket").agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+      .collect()
+
+    val uni = new Array[Long](Buckets)
+    val bi = new Array[Long](Buckets)
+    counts.foreach { r =>
+      if (r.getInt(0) == 0) uni(r.getInt(1)) = r.getLong(2)
+      else bi(r.getInt(1)) = r.getLong(2)
+    }
+    new Model(uni, bi)
+  }
+}

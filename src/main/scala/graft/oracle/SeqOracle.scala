@@ -1,0 +1,125 @@
+package graft.oracle
+
+import graft.core.SourceFile
+import graft.lm.{LangId, Perplexity}
+import graft.pipeline.QualityFilter.Config
+import graft.scrub.Scrub
+import java.math.{BigDecimal => JBig, RoundingMode}
+import java.util.regex.Pattern
+
+/** Sequential, Spark-free reimplementation of the quality-filter decision
+  * spec (SURVEY.md §5.1): the single source of truth for keep/drop labels in
+  * the F1 parity gate. Mirrors [[graft.functions.TextMetrics]],
+  * [[graft.pipeline.QualityFilter]] rule order, Spark's decimal-cast
+  * arithmetic (BigDecimal.valueOf + HALF_UP, as in Cast double→decimal) and
+  * the exact-percentile interpolation, so engine vs oracle should agree on
+  * every row (F1 = 1.0; the ≥0.99 gate leaves headroom for interpolation
+  * ulps only).
+  */
+object SeqOracle {
+
+  case class Metrics(
+      nChars: Int, nLines: Int, maxLineLen: Int, avgLineLen: Double,
+      alnumRatio: Double, dupLineRatio: Double, nWords: Int,
+      meanWordLen: Double, hasBadChars: Boolean)
+
+  case class Label(
+      repo: String, path: String, commit: String, lang: String,
+      keep: Boolean, dropReasons: Seq[String],
+      contentSha256: String, scrubbed: String, scrubbedSha256: String)
+
+  private val badChars = Pattern.compile(graft.functions.TextMetrics.BadCharPattern)
+  private def cp(s: String): Int = s.codePointCount(0, s.length)
+
+  def metrics(content: String): Metrics = {
+    val lines = content.split("\n", -1)
+    val nChars = cp(content)
+    val nLines = lines.length
+    val maxLine = if (lines.isEmpty) 0 else lines.map(cp).max
+    val alnum = cp(content.replaceAll("[^A-Za-z0-9]", ""))
+    val nonSpace = cp(content.replaceAll("\\s", ""))
+    val words = content.split("\\s+", -1).filter(_.nonEmpty)
+    val nWords = words.length
+    val distinctLines = lines.distinct.length
+    Metrics(
+      nChars = nChars,
+      nLines = nLines,
+      maxLineLen = maxLine,
+      avgLineLen = nChars.toDouble / nLines,
+      alnumRatio = if (nChars == 0) 0.0 else alnum.toDouble / nChars,
+      dupLineRatio = if (nLines == 0) 0.0 else 1.0 - distinctLines.toDouble / nLines,
+      nWords = nWords,
+      meanWordLen = if (nWords == 0) 0.0 else nonSpace.toDouble / nWords,
+      hasBadChars = badChars.matcher(content).find())
+  }
+
+  /** Spark Cast(double → DecimalType(38, scale)): shortest-repr BigDecimal,
+    * HALF_UP to `scale`.
+    */
+  private def dec(x: Double, scale: Int): JBig =
+    JBig.valueOf(x).setScale(scale, RoundingMode.HALF_UP)
+
+  /** Spark Percentile's linear interpolation over a sorted array. */
+  def percentileExact(sorted: Array[Double], p: Double): Double = {
+    val n = sorted.length
+    require(n > 0)
+    val pos = p * (n - 1)
+    val lower = math.floor(pos).toInt
+    val higher = math.ceil(pos).toInt
+    if (lower == higher) sorted(lower)
+    else sorted(lower) * (higher - pos) + sorted(higher) * (pos - lower)
+  }
+
+  case class LangStats(pplMean: Double, pplSigma: Double, charsQ1: Double, charsQ3: Double)
+
+  def label(
+      files: Seq[SourceFile],
+      langModel: LangId.Model,
+      pplModel: Perplexity.Model,
+      cfg: Config = Config()): Seq[Label] = {
+
+    val scored = files.map { f =>
+      val (pred, margin) = langModel.predict(f.content)
+      (f, metrics(f.content), pred, margin, pplModel.perplexity(f.content))
+    }
+
+    // per-lang stats, decimal-exact like graft.core.Exact / langStats
+    val stats: Map[String, LangStats] = scored.groupBy(_._1.lang).map { case (lang, g) =>
+      val n = g.size.toDouble
+      val s = g.map(x => dec(x._5, 6)).reduce(_ add _).doubleValue()
+      val sq = g.map(x => dec(x._5 * x._5, 12)).reduce(_ add _).doubleValue()
+      val mean = s / n
+      val sigma = math.sqrt(sq / n - (s / n) * (s / n))
+      val chars = g.map(_._2.nChars.toDouble).toArray.sorted
+      lang -> LangStats(mean, sigma,
+        percentileExact(chars, 0.25), percentileExact(chars, 0.75))
+    }
+
+    scored.map { case (f, m, pred, margin, ppl) =>
+      val st = stats(f.lang)
+      val iqr = st.charsQ3 - st.charsQ1
+      // identical order + predicates as QualityFilter.reasonExprs
+      val reasons = Seq(
+        "empty" -> (m.nWords == 0),
+        "bad_encoding" -> m.hasBadChars,
+        "long_line" -> (m.maxLineLen > cfg.maxLineLen),
+        "long_avg_line" -> (m.avgLineLen > cfg.maxAvgLineLen),
+        "low_alnum" -> (m.nWords > 0 && m.alnumRatio < cfg.minAlnumRatio),
+        "rep_lines" -> (m.dupLineRatio > cfg.maxDupLineRatio),
+        "word_len" -> (m.nWords > 0 &&
+          (m.meanWordLen < cfg.minMeanWordLen || m.meanWordLen > cfg.maxMeanWordLen)),
+        "lang_mismatch" -> (pred != f.lang && margin > cfg.langMargin),
+        "ppl_outlier" -> (ppl > st.pplMean + cfg.pplSigmaK * st.pplSigma),
+        "len_outlier" -> (m.nChars < st.charsQ1 - cfg.iqrK * iqr ||
+          m.nChars > st.charsQ3 + cfg.iqrK * iqr)
+      ).collect { case (name, true) => name }
+
+      val scrubbed = Scrub.scrubString(f.content)
+      Label(f.repo, f.path, f.commit, f.lang,
+        keep = reasons.isEmpty, dropReasons = reasons,
+        contentSha256 = Scrub.sha256HexString(f.content),
+        scrubbed = scrubbed,
+        scrubbedSha256 = Scrub.sha256HexString(scrubbed))
+    }
+  }
+}

@@ -1,0 +1,57 @@
+package graft.pipeline
+
+import graft.core.{SourceFile, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Adapter: the driver's `documents` table → the corpus shape, so the
+  * flagship pipeline runs over driver-provided data as well as the synthetic
+  * corpus. (doc_id, text, lang, source) → (repo=source, path=doc/<id>,
+  * commit="", lang, content=text).
+  */
+object DocumentsAdapter {
+
+  def fromDocuments(df: DataFrame): Dataset[SourceFile] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+      col("source").as("repo"),
+      concat(lit("doc/"), col("doc_id")).as("path"),
+      lit("").as("commit"),
+      col("lang"),
+      col("text").as("content")).as[SourceFile]
+  }
+
+  /** Prose-domain config: documents are single-line texts (no code-style
+    * line structure) and the synthetic langs share one vocabulary, so the
+    * line-length rule and the langid margin are relaxed; the statistical
+    * fences (ppl 3-sigma, length IQR) do the work here.
+    */
+  val docConfig: QualityFilter.Config = QualityFilter.Config(
+    maxLineLen = 5000, maxAvgLineLen = 5000.0,
+    // the synthetic document langs share one vocabulary → langid carries the
+    // majority-class smoothing bias only; disable the mismatch rule here
+    // (it stays active for the code corpus, where langid is accurate).
+    langMargin = Double.MaxValue)
+
+  /** Flagship query: full quality-filter over the documents table. Output is
+    * fully deterministic (rounded scores, sorted) — rows-only driver check.
+    */
+  def qualityFilterQuery(s: SparkSession, dir: String): DataFrame = {
+    val corpus = fromDocuments(Tables.documents(s, dir))
+    val res = QualityFilter.run(corpus, docConfig)
+    res.labeled.select(
+      col("path"), col("lang"), col("lang_pred"),
+      round(col("ppl"), 4).as("ppl"),
+      col("keep"),
+      concat_ws("|", col("drop_reasons")).as("reasons"),
+      col("scrubbed_sha256"))
+      .orderBy("path")
+  }
+
+  /** Rule-hit metrics table for the same run. */
+  def metricsQuery(s: SparkSession, dir: String): DataFrame = {
+    val corpus = fromDocuments(Tables.documents(s, dir))
+    QualityFilter.run(corpus, docConfig).metrics.orderBy("lang", "metric")
+  }
+}

@@ -1,0 +1,146 @@
+package graft.pipeline
+
+import graft.core.{Exact, SourceFile}
+import graft.functions.TextMetrics
+import graft.lm.{LangId, Perplexity}
+import graft.scrub.Scrub
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** A corpus row + broadcast-model scores (langid + perplexity). */
+case class Scored(
+    repo: String, path: String, commit: String, lang: String, content: String,
+    lang_pred: String, lang_margin: Double, ppl: Double)
+
+/** Output bundle: labeled rows, rule-hit metrics, per-partition lineage. */
+case class QualityResult(labeled: DataFrame, metrics: DataFrame, lineage: DataFrame)
+
+/** The flagship quality-filter pipeline (BASELINE.json north rule): langid +
+  * perplexity + heuristic rules + statistical fences + PII scrub over the
+  * `(repo, path, commit, lang, content)` corpus table, emitting per-file
+  * keep/drop + reasons + byte-stable scrubbed content.
+  *
+  * Execution shape at scale (SURVEY.md §3 lifecycle):
+  *  - model training: 2 distributed count-aggregations (map-side combine,
+  *    associative integer counts ⇒ parallelism-independent models);
+  *  - scoring: ONE typed mapPartitions pass with both broadcast models
+  *    (single deserialization of content per row);
+  *  - metrics: pure Catalyst column expressions (whole-stage codegen);
+  *  - per-lang stats: tiny aggregate (rows = |langs|) broadcast-joined back
+  *    — the scalar-fence shape of the reference's W6/W7 rules;
+  *  - label + scrub + sha256: one projection;
+  *  - no collect() of row data, no RDD API, no global sort.
+  *
+  * Decision semantics mirror the reference rule math: population sigma
+  * fences (np.std ddof=0, src/app.py:612-617), exact-percentile IQR fences
+  * q3+1.5·IQR (src/app.py:1325-1337), ±10%-band drift checks live in
+  * [[graft.operators.Series]]. The sequential oracle
+  * [[graft.oracle.SeqOracle]] re-implements THIS spec for the F1 gate.
+  */
+object QualityFilter {
+
+  case class Config(
+      maxLineLen: Int = 1000,
+      maxAvgLineLen: Double = 200.0,
+      minAlnumRatio: Double = 0.25,
+      maxDupLineRatio: Double = 0.30,
+      minMeanWordLen: Double = 2.0,
+      maxMeanWordLen: Double = 15.0,
+      langMargin: Double = 0.05,
+      pplSigmaK: Double = 3.0,
+      iqrK: Double = 1.5,
+      cache: Boolean = true)
+
+  /** One-pass broadcast-model scoring (mapPartitions-batched inference). */
+  def score(
+      ds: Dataset[SourceFile],
+      langModel: Broadcast[LangId.Model],
+      pplModel: Broadcast[Perplexity.Model]): Dataset[Scored] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      val lm = langModel.value
+      val pm = pplModel.value
+      it.map { f =>
+        val (pred, margin) = lm.predict(f.content)
+        val ppl = pm.perplexity(f.content)
+        Scored(f.repo, f.path, f.commit, f.lang, f.content, pred, margin, ppl)
+      }
+    }
+  }
+
+  /** Ordered heuristic rule predicates → reason tags. Order is part of the
+    * spec (byte-stable drop_reasons arrays).
+    */
+  def reasonExprs(cfg: Config): Seq[(String, Column)] = Seq(
+    "empty" -> (col("n_words") === 0),
+    "bad_encoding" -> col("has_bad_chars"),
+    "long_line" -> (col("max_line_len") > cfg.maxLineLen),
+    "long_avg_line" -> (col("avg_line_len") > cfg.maxAvgLineLen),
+    "low_alnum" -> (col("n_words") > 0 && col("alnum_ratio") < cfg.minAlnumRatio),
+    "rep_lines" -> (col("dup_line_ratio") > cfg.maxDupLineRatio),
+    "word_len" -> (col("n_words") > 0 &&
+      (col("mean_word_len") < cfg.minMeanWordLen || col("mean_word_len") > cfg.maxMeanWordLen)),
+    "lang_mismatch" -> (col("lang_pred") =!= col("lang") && col("lang_margin") > cfg.langMargin),
+    "ppl_outlier" -> (col("ppl") > col("ppl_mean") + lit(cfg.pplSigmaK) * col("ppl_sigma")),
+    "len_outlier" -> (col("n_chars") < col("chars_q1") - lit(cfg.iqrK) * (col("chars_q3") - col("chars_q1")) ||
+      col("n_chars") > col("chars_q3") + lit(cfg.iqrK) * (col("chars_q3") - col("chars_q1")))
+  )
+
+  /** Per-lang distribution stats (exact percentiles + decimal-exact moments)
+    * — tiny result, broadcast back. Reference A1-A4 analogue.
+    */
+  def langStats(withMetrics: DataFrame): DataFrame =
+    withMetrics.groupBy(col("lang")).agg(
+      (Exact.dsum(col("ppl"), 6) / count(lit(1))).as("ppl_mean"),
+      Exact.dstddevPop(col("ppl"), 6).as("ppl_sigma"),
+      percentile(col("n_chars"), lit(0.25)).as("chars_q1"),
+      percentile(col("n_chars"), lit(0.75)).as("chars_q3"))
+
+  def run(corpus: Dataset[SourceFile], cfg: Config = Config()): QualityResult = {
+    val spark = corpus.sparkSession
+    val input = if (cfg.cache) corpus.persist(StorageLevel.MEMORY_AND_DISK) else corpus
+    val langModel = spark.sparkContext.broadcast(LangId.train(input))
+    val pplModel = spark.sparkContext.broadcast(Perplexity.train(input))
+    val scored = score(input, langModel, pplModel)
+    val withM = TextMetrics.withMetrics(scored.toDF())
+    val cachedM = if (cfg.cache) withM.persist(StorageLevel.MEMORY_AND_DISK) else withM
+    val stats = langStats(cachedM)
+    val joined = cachedM.join(broadcast(stats), Seq("lang"), "left")
+
+    val reasons = reasonExprs(cfg)
+    val reasonArr = filter(
+      array(reasons.map { case (n, c) => when(c, lit(n)) }: _*),
+      x => x.isNotNull)
+    val labeled = joined
+      .withColumn("drop_reasons", reasonArr)
+      .withColumn("keep", size(col("drop_reasons")) === 0)
+      .withColumn("content_sha256", Scrub.sha256Hex(col("content")))
+      .withColumn("scrubbed", Scrub.scrub(col("content")))
+      .withColumn("scrubbed_sha256", Scrub.sha256Hex(col("scrubbed")))
+
+    // rule-hit metrics per lang: (lang, metric, n)
+    val totals = labeled.groupBy(col("lang")).agg(
+      count(lit(1)).as("files"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
+    val metrics = totals.select(col("lang"), lit("files").as("metric"), col("files").as("n"))
+      .unionByName(totals.select(col("lang"), lit("kept").as("metric"), col("kept").as("n")))
+      .unionByName(
+        labeled.select(col("lang"), explode(col("drop_reasons")).as("reason"))
+          .groupBy(col("lang"), col("reason"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("lang"), concat(lit("reason:"), col("reason")).as("metric"), col("n")))
+
+    // per-partition lineage: repo-hash buckets (the Iceberg partition analogue)
+    val lineage = labeled
+      .withColumn("bucket", pmod(xxhash64(col("repo")), lit(64)))
+      .groupBy(col("bucket")).agg(
+        count(lit(1)).as("n_files"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        countDistinct(col("repo")).as("n_repos"))
+
+    QualityResult(labeled, metrics, lineage)
+  }
+}

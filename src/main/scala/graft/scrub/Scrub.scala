@@ -1,0 +1,46 @@
+package graft.scrub
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Ordered PII/secret scrub pass (north rule: compiled-regex scrub,
+  * byte-stable across retries).
+  *
+  * The rule list is a STATIC, ORDERED sequence — the engine applies it as a
+  * folded chain of `regexp_replace` column expressions (codegen'd, executed
+  * left-to-right inside one projection), and the sequential oracle applies
+  * the same patterns with `String.replaceAll`. Java regex on both sides ⇒
+  * byte-identical output. Seed of the design: the reference's only string
+  * scrub, a global regex replace over all cells (src/API_helpers/fao.py:15).
+  *
+  * Determinism notes: no locale-dependent classes, no backrefs into
+  * replacement except literal tokens; patterns are compiled once per task by
+  * Catalyst (foldable pattern argument).
+  */
+object Scrub {
+
+  /** (name, pattern, replacement) — order matters and is part of the spec. */
+  val rules: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("aws_key", "\\bAKIA[0-9A-Z]{16}\\b", "<AWS_KEY>"),
+    ("ipv4", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\+?\\b\\d{1,3}[-. ]\\(?\\d{3}\\)?[-. ]\\d{3,4}[-. ]\\d{4}\\b", "<PHONE>"),
+    ("secret", "(?i)\\b(api[_-]?key|secret|token|password)(\\s*[:=]\\s*)\\S+", "$1$2<SECRET>")
+  )
+
+  /** Column-expression form: one projection, fixed order. */
+  def scrub(c: Column): Column =
+    rules.foldLeft(c) { case (acc, (_, pat, rep)) => regexp_replace(acc, pat, rep) }
+
+  /** Sequential form for the oracle — must stay semantically identical. */
+  def scrubString(s: String): String =
+    rules.foldLeft(s) { case (acc, (_, pat, rep)) => acc.replaceAll(pat, rep) }
+
+  /** Lowercase hex sha256 of the UTF-8 bytes — lineage invariant column. */
+  def sha256Hex(c: Column): Column = sha2(c, 256)
+
+  def sha256HexString(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import graft.core.{Corpus, GraftSession}
+import graft.lm.{LangId, Perplexity}
+import graft.oracle.SeqOracle
+import graft.pipeline.QualityFilter
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The F1/decision-parity + determinism gates from BASELINE.json, run on a
+  * deterministic synthetic corpus (FIXTURES.md §1).
+  */
+class QualityFilterSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4, "qf-spec")
+
+  private val N = 2000L
+  private val Seed = 42L
+
+  private lazy val corpus = Corpus.generate(spark, N, Seed, numParts = 8).cache()
+  private lazy val result = QualityFilter.run(corpus)
+  private lazy val engineRows: Map[(String, String, String), (Boolean, Seq[String], String, String)] =
+    result.labeled
+      .select("repo", "path", "commit", "keep", "drop_reasons", "content_sha256", "scrubbed_sha256")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getBoolean(3), r.getSeq[String](4).toList, r.getString(5), r.getString(6))))
+      .toMap
+
+  private lazy val oracleLabels = {
+    val files = (0L until N).map(i => Corpus.genRow(Seed, i))
+    val langM = LangId.train(corpus)
+    val pplM = Perplexity.train(corpus)
+    SeqOracle.label(files, langM, pplM)
+  }
+
+  test("keep/drop decision parity vs sequential oracle: F1 >= 0.99") {
+    assert(engineRows.size == N)
+    var tp = 0; var fp = 0; var fn = 0; var exact = 0
+    oracleLabels.foreach { o =>
+      val e = engineRows((o.repo, o.path, o.commit))
+      if (e._1 && o.keep) tp += 1
+      if (e._1 && !o.keep) fp += 1
+      if (!e._1 && o.keep) fn += 1
+      if (e._1 == o.keep && e._2 == o.dropReasons) exact += 1
+    }
+    val precision = tp.toDouble / (tp + fp)
+    val recall = tp.toDouble / (tp + fn)
+    val f1 = 2 * precision * recall / (precision + recall)
+    info(s"tp=$tp fp=$fp fn=$fn f1=$f1 exactReasonRows=$exact/${N}")
+    assert(f1 >= 0.99, s"F1 $f1 below gate")
+    assert(exact >= N * 0.99, "drop_reasons arrays diverge from oracle")
+  }
+
+  test("per-row sha256 invariant: content and scrubbed hashes match oracle byte-for-byte") {
+    oracleLabels.foreach { o =>
+      val e = engineRows((o.repo, o.path, o.commit))
+      assert(e._3 == o.contentSha256, s"content sha mismatch at ${o.path}")
+      assert(e._4 == o.scrubbedSha256, s"scrub not byte-stable at ${o.path}")
+    }
+  }
+
+  test("scrub is idempotent and removes PII patterns") {
+    val texts = (0L until 500L).map(i => Corpus.genRow(Seed, i).content)
+    texts.foreach { t =>
+      val once = graft.scrub.Scrub.scrubString(t)
+      assert(graft.scrub.Scrub.scrubString(once) == once)
+    }
+    val scrubbedAll = texts.map(graft.scrub.Scrub.scrubString).mkString("\n")
+    assert(!scrubbedAll.contains("@example"), "emails survived scrub")
+    assert(!scrubbedAll.matches("(?s).*\\bAKIA[0-9A-Z]{16}\\b.*"), "aws keys survived")
+  }
+
+  test("decisions independent of generator partitioning and shuffle partitions") {
+    val alt = Corpus.generate(spark, N, Seed, numParts = 13)
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    val r2 = QualityFilter.run(alt, QualityFilter.Config(cache = false))
+    val rows2 = r2.labeled
+      .select("repo", "path", "commit", "keep", "scrubbed_sha256")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> ((r.getBoolean(3), r.getString(4))))
+      .toMap
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    assert(rows2.size == N)
+    engineRows.foreach { case (k, v) =>
+      assert(rows2(k)._1 == v._1, s"keep flipped across partitionings at $k")
+      assert(rows2(k)._2 == v._4, s"scrub bytes changed across partitionings at $k")
+    }
+  }
+
+  test("Spark exact percentile matches oracle interpolation formula bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { trial =>
+      val vals = Array.fill(50 + rnd.nextInt(200))(rnd.nextInt(100000).toDouble)
+      val df = vals.toSeq.toDF("v")
+      val got = df.agg(
+        percentile(col("v"), lit(0.25)).as("q1"),
+        percentile(col("v"), lit(0.75)).as("q3")).collect()(0)
+      val sorted = vals.sorted
+      assert(got.getDouble(0) == SeqOracle.percentileExact(sorted, 0.25), s"q1 trial $trial")
+      assert(got.getDouble(1) == SeqOracle.percentileExact(sorted, 0.75), s"q3 trial $trial")
+    }
+  }
+
+  test("metrics and lineage tables are consistent with labels") {
+    val m = result.metrics.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val total = m.collect { case ((_, "files"), n) => n }.sum
+    val kept = m.collect { case ((_, "kept"), n) => n }.sum
+    assert(total == N)
+    assert(kept == engineRows.values.count(_._1))
+    val lin = result.lineage.agg(sum("n_files"), sum("n_kept")).collect()(0)
+    assert(lin.getLong(0) == N && lin.getLong(1) == kept)
+  }
+}
