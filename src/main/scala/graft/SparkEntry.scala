@@ -27,6 +27,15 @@ object SparkEntry {
     "q06_filter_pushdown" -> (Relational.q06FilterPushdown _),
     "q07_union"           -> (Relational.q07Union _),
     "q08_distinct"        -> (Relational.q08Distinct _),
+    "q09_growth_rate"     -> (SeriesQueries.q09GrowthRate _),
+    "q10_roc"             -> (SeriesQueries.q10Roc _),
+    "q11_bucket_drift"    -> (SeriesQueries.q11BucketDrift _),
+    "q12_three_sigma"     -> (SeriesQueries.q12ThreeSigma _),
+    "q13_iqr_outliers"    -> (SeriesQueries.q13IqrOutliers _),
+    "q14_external"        -> (SeriesQueries.q14External _),
+    "q15_missing_months"  -> (SeriesQueries.q15MissingMonths _),
+    "q16_ols"             -> (SeriesQueries.q16Ols _),
+    "q19_polyfit2"        -> (SeriesQueries.q19Polyfit2 _),
     "q17_topk"            -> (Relational.q17TopK _),
     "q18_pivot"           -> (Relational.q18Pivot _),
     "q27_sessionize"      -> (Relational.q27Sessionize _),
@@ -45,6 +54,15 @@ object SparkEntry {
     "q06_filter_pushdown" -> RelationalSql.q06FilterPushdown,
     "q07_union"           -> RelationalSql.q07Union,
     "q08_distinct"        -> RelationalSql.q08Distinct,
+    "q09_growth_rate"     -> SeriesSql.q09GrowthRate,
+    "q10_roc"             -> SeriesSql.q10Roc,
+    "q11_bucket_drift"    -> SeriesSql.q11BucketDrift,
+    "q12_three_sigma"     -> SeriesSql.q12ThreeSigma,
+    "q13_iqr_outliers"    -> SeriesSql.q13IqrOutliers,
+    "q14_external"        -> SeriesSql.q14External,
+    "q15_missing_months"  -> SeriesSql.q15MissingMonths,
+    "q16_ols"             -> SeriesSql.q16Ols,
+    "q19_polyfit2"        -> SeriesSql.q19Polyfit2,
     "q17_topk"            -> RelationalSql.q17TopK,
     "q18_pivot"           -> RelationalSql.q18Pivot,
     "q27_sessionize"      -> RelationalSql.q27Sessionize,

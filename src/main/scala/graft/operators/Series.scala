@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's time-series/window operator family (SURVEY.md §2.5
+  * W1-W9), re-expressed as generic DataFrame transforms over
+  * (group, order, value) columns. All are `Window.partitionBy(group)
+  * .orderBy(order)` + `lag`/`lead` — one shuffle per window key, no global
+  * sort, executor-side only.
+  *
+  * Reference quirks preserved where they define decision semantics:
+  *  - W2 rate-of-change divides by the NEXT value and the NEGATIVE order gap
+  *    (src/API_helpers/helperFunctions.py:8-21) — replicated sign-exactly;
+  *  - W3 bucket %-change forces 0 when either bucket mean is 0
+  *    (src/app.py:1560-1579);
+  *  - W4/W5 use the ±10% band as written: upper = x·1.1, lower = x·0.9,
+  *    so for negative x "upper" < x (src/outlierFinders.py:47-51);
+  *  - W6 3-sigma is UNCENTERED population sigma (src/app.py:256-260);
+  *  - W7 fences are q1/q3 ± 1.5·IQR with exact percentiles
+  *    (src/app.py:1325-1337).
+  */
+object Series {
+
+  private def w(group: Seq[String], order: String) =
+    Window.partitionBy(group.map(col): _*).orderBy(col(order))
+
+  /** W1 growth rate: (next-cur)/cur·100, emitted on the CURRENT row; last
+    * row of each group dropped (helperFunctions.py:28-43).
+    */
+  def growthRate(df: DataFrame, group: Seq[String], order: String, value: String,
+      out: String = "growth_rate"): DataFrame = {
+    val nxt = lead(col(value), 1).over(w(group, order))
+    df.withColumn(out, (nxt - col(value)) / col(value) * 100)
+      .filter(col(out).isNotNull)
+  }
+
+  /** W2 rate of change — sign-flipped as in the reference:
+    * ((next-cur)/next·100) / (order - nextOrder) (helperFunctions.py:8-21).
+    */
+  def rateOfChange(df: DataFrame, group: Seq[String], order: String, value: String,
+      out: String = "roc"): DataFrame = {
+    val ww = w(group, order)
+    val nxt = lead(col(value), 1).over(ww)
+    val nxtOrd = lead(col(order), 1).over(ww)
+    df.withColumn(out, (nxt - col(value)) / nxt * 100 / (col(order) - nxtOrd))
+      .filter(col(out).isNotNull)
+  }
+
+  /** W3 consecutive-bucket % change with zero-guards: input must already be
+    * one row per (group, bucket) with a mean column.
+    */
+  def bucketPctChange(df: DataFrame, group: Seq[String], bucket: String, mean: String,
+      out: String = "pct_change"): DataFrame = {
+    val prev = lag(col(mean), 1).over(w(group, bucket))
+    df.withColumn("prev_mean", prev)
+      .withColumn(out,
+        when(col("prev_mean").isNull, lit(null))
+          .when(col("prev_mean") === 0 || col(mean) === 0, lit(0.0))
+          .otherwise((col(mean) - col("prev_mean")) / col("prev_mean") * 100))
+  }
+
+  /** W4 internal drift: flag when cur is outside prev·0.9 .. prev·1.1 (band
+    * as written — inverted for negatives, outlierFinders.py:47-51).
+    */
+  def internalDrift(df: DataFrame, group: Seq[String], bucket: String, value: String,
+      out: String = "drift"): DataFrame = {
+    val prev = lag(col(value), 1).over(w(group, bucket))
+    df.withColumn("prev_value", prev)
+      .withColumn(out,
+        col("prev_value").isNotNull &&
+          (col(value) > col("prev_value") * 1.1 || col(value) < col("prev_value") * 0.9))
+  }
+
+  /** W5 external consistency: at equal bucket, flag ordered source pairs
+    * where A is outside B ± 10%·B (outlierFinders.py:85-128). Pivot-free
+    * formulation: self-equi-join on (group, bucket) with src_a < src_b —
+    * at scale both sides shuffle once on the same key (co-partitioned
+    * sort-merge join), no driver work.
+    */
+  def externalConsistency(df: DataFrame, group: Seq[String], bucket: String,
+      source: String, value: String): DataFrame = {
+    val a = df.select((group :+ bucket).map(col) :+ col(source).as("src_a") :+ col(value).as("val_a"): _*)
+    val b = df.select((group :+ bucket).map(col) :+ col(source).as("src_b") :+ col(value).as("val_b"): _*)
+    a.join(b, group :+ bucket)
+      .filter(col("src_a") < col("src_b"))
+      .withColumn("inconsistent",
+        col("val_a") > col("val_b") * 1.1 || col("val_a") < col("val_b") * 0.9)
+  }
+
+  /** W6 uncentered 3-sigma rule: per-group POPULATION sigma of `value`
+    * (decimal-exact moments), flag |value| > k·sigma. The sigma is a 1-row-
+    * per-group aggregate broadcast-joined back — the scalar-crossJoin shape
+    * Catalyst plans for the reference's σ outliers (src/app.py:662-666).
+    */
+  def threeSigma(df: DataFrame, group: Seq[String], value: String, k: Double = 3.0): DataFrame = {
+    val sig = df.groupBy(group.map(col): _*)
+      .agg(graft.core.Exact.dstddevPop(col(value), 6).as("sigma"))
+    df.join(broadcast(sig), group)
+      .filter(col(value) > col("sigma") * k || col(value) < -(col("sigma") * k))
+  }
+
+  /** W7 IQR fences: flag values outside [q1 - k·IQR, q3 + k·IQR] with exact
+    * percentiles (src/app.py:1325-1337).
+    */
+  def iqrOutliers(df: DataFrame, group: Seq[String], value: String, k: Double = 1.5): DataFrame = {
+    val q = df.groupBy(group.map(col): _*)
+      .agg(percentile(col(value), lit(0.25)).as("q1"),
+        percentile(col(value), lit(0.75)).as("q3"))
+      .withColumn("lo", col("q1") - (col("q3") - col("q1")) * k)
+      .withColumn("hi", col("q3") + (col("q3") - col("q1")) * k)
+    df.join(broadcast(q), group)
+      .filter(col(value) < col("lo") || col(value) > col("hi"))
+  }
+
+  /** W9 missing-point infill: per group, the order values absent from
+    * [min, max] — builtin sequence + explode + left-anti join
+    * (src/app.py:1833-1837 analogue).
+    */
+  def missingPoints(df: DataFrame, group: Seq[String], order: String): DataFrame = {
+    val full = df.groupBy(group.map(col): _*)
+      .agg(min(col(order)).as("mn"), max(col(order)).as("mx"))
+      .withColumn(order, explode(sequence(col("mn"), col("mx"))))
+      .drop("mn", "mx")
+    full.join(df.select((group :+ order).map(col): _*), group :+ order, "left_anti")
+  }
+
+  /** M1/W8 degree-2 OLS via exact moments + Cramer's rule, computed per
+    * group as a single aggregation. x must be small non-negative ints
+    * (center upstream): integer-valued double moments are exact and
+    * order-independent; y moments are decimal-summed.
+    */
+  def olsDeg2(df: DataFrame, group: Seq[String], x: String, y: String): DataFrame = {
+    import graft.core.Exact.dsum
+    val xc = col(x).cast("double")
+    val yc = col(y)
+    val m = df.groupBy(group.map(col): _*).agg(
+      count(lit(1)).cast("double").as("s0"),
+      sum(xc).as("s1"),
+      sum(xc * xc).as("s2"),
+      sum(xc * xc * xc).as("s3"),
+      sum(xc * xc * xc * xc).as("s4"),
+      dsum(yc, 6).as("ty"),
+      dsum(xc * yc, 6).as("txy"),
+      dsum(xc * xc * yc, 6).as("tx2y"))
+    def det(a1: Column, a2: Column, a3: Column, b1: Column, b2: Column, b3: Column,
+        c1: Column, c2: Column, c3: Column): Column =
+      a1 * (b2 * c3 - b3 * c2) - a2 * (b1 * c3 - b3 * c1) + a3 * (b1 * c2 - b2 * c1)
+    val d = det(col("s0"), col("s1"), col("s2"),
+      col("s1"), col("s2"), col("s3"),
+      col("s2"), col("s3"), col("s4"))
+    val d0 = det(col("ty"), col("s1"), col("s2"),
+      col("txy"), col("s2"), col("s3"),
+      col("tx2y"), col("s3"), col("s4"))
+    val d1 = det(col("s0"), col("ty"), col("s2"),
+      col("s1"), col("txy"), col("s3"),
+      col("s2"), col("tx2y"), col("s4"))
+    val d2 = det(col("s0"), col("s1"), col("ty"),
+      col("s1"), col("s2"), col("txy"),
+      col("s2"), col("s3"), col("tx2y"))
+    m.withColumn("c0", d0 / d)
+      .withColumn("c1", d1 / d)
+      .withColumn("c2", d2 / d)
+      .select(group.map(col) :+ col("c0") :+ col("c1") :+ col("c2"): _*)
+  }
+}

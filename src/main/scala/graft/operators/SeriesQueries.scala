@@ -1,0 +1,271 @@
+package graft.operators
+
+import graft.core.Exact._
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** W1-W9 over driver testdata: a monthly order-value series per priority
+  * class plays the role of the reference's per-(source,species) population
+  * series. Every query has a DuckDB oracle in [[SeriesSql]].
+  */
+object SeriesQueries {
+
+  /** Canonical series: one row per (p, yr, mi) with exact monthly total.
+    * mi = year*12 + month (global month index).
+    */
+  def monthly(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(
+        col("o_orderpriority").as("p"),
+        year(col("o_orderdate")).as("yr"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("mi"))
+      .agg(dsum(col("o_totalprice")).as("tot"))
+
+  /** W1 growth rate over the monthly series. */
+  def q09GrowthRate(s: SparkSession, dir: String): DataFrame =
+    Series.growthRate(monthly(s, dir), Seq("p"), "mi", "tot", "gr")
+      .select(col("p"), col("mi"), round(col("gr"), 6).as("gr"))
+      .orderBy("p", "mi")
+
+  /** W2 sign-flipped rate of change. */
+  def q10Roc(s: SparkSession, dir: String): DataFrame =
+    Series.rateOfChange(monthly(s, dir), Seq("p"), "mi", "tot", "roc")
+      .select(col("p"), col("mi"), round(col("roc"), 6).as("roc"))
+      .orderBy("p", "mi")
+
+  /** W3+W4: yearly bucket means, %-change with zero-guards, drift flag on
+    * the mean series (prev ± 10% band as written).
+    */
+  def q11BucketDrift(s: SparkSession, dir: String): DataFrame = {
+    val yearly = monthly(s, dir)
+      .groupBy(col("p"), col("yr"))
+      .agg((dsum(col("tot")) / count(lit(1))).as("avg_tot"))
+    val withPct = Series.bucketPctChange(yearly, Seq("p"), "yr", "avg_tot", "pct")
+    Series.internalDrift(withPct, Seq("p"), "yr", "avg_tot", "drift")
+      .select(col("p"), col("yr"),
+        round(col("avg_tot"), 6).as("avg_tot"),
+        round(col("pct"), 6).as("pct"),
+        col("drift"))
+      .orderBy("p", "yr")
+  }
+
+  /** W6: uncentered 3-sigma outliers of the growth-rate series. */
+  def q12ThreeSigma(s: SparkSession, dir: String): DataFrame = {
+    val gr = Series.growthRate(monthly(s, dir), Seq("p"), "mi", "tot", "gr")
+    Series.threeSigma(gr, Seq("p"), "gr", 3.0)
+      .select(col("p"), col("mi"), round(col("gr"), 6).as("gr"),
+        round(col("sigma"), 6).as("sigma"))
+      .orderBy("p", "mi")
+  }
+
+  /** W7: IQR-fence outliers on event values per type. */
+  def q13IqrOutliers(s: SparkSession, dir: String): DataFrame =
+    Series.iqrOutliers(Tables.events(s, dir), Seq("event_type"), "value")
+      .select(col("event_type"), col("event_id"), col("value"))
+      .orderBy("event_type", "event_id")
+
+  /** W5: cross-source consistency of mean document length per lang. */
+  def q14External(s: SparkSession, dir: String): DataFrame = {
+    val avg = Tables.documents(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg((dsum(col("n_chars"), 0) / count(lit(1))).as("avg_chars"))
+    Series.externalConsistency(avg, Seq(), "lang", "source", "avg_chars")
+      .filter(col("inconsistent"))
+      .select(col("lang"), col("src_a"), col("src_b"),
+        round(col("val_a"), 6).as("val_a"), round(col("val_b"), 6).as("val_b"))
+      .orderBy("lang", "src_a", "src_b")
+  }
+
+  /** W9: order-days missing from each priority's daily series (the monthly
+    * series is dense; the daily one has real gaps to infill).
+    */
+  def q15MissingMonths(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("p"),
+        floor(unix_timestamp(col("o_orderdate")) / 86400).cast("int").as("di"))
+      .agg(count(lit(1)).as("n"))
+    Series.missingPoints(daily, Seq("p"), "di")
+      .select(col("p"), col("di"))
+      .orderBy("p", "di")
+  }
+
+  /** M1 degree-1 OLS from exact moments + W8 ±10% residual-band flags. */
+  def q16Ols(s: SparkSession, dir: String): DataFrame = {
+    val base = monthly(s, dir)
+      .withColumn("xi", (col("mi") - min(col("mi")).over(Window.partitionBy(col("p")))).cast("double"))
+    val m = base.groupBy(col("p")).agg(
+      count(lit(1)).cast("double").as("s0"),
+      sum(col("xi")).as("s1"),
+      sum(col("xi") * col("xi")).as("s2"),
+      dsum(col("tot"), 6).as("ty"),
+      dsum(col("xi") * col("tot"), 6).as("txy"))
+    val withFit = m
+      .withColumn("slope", (col("s0") * col("txy") - col("s1") * col("ty")) /
+        (col("s0") * col("s2") - col("s1") * col("s1")))
+      .withColumn("icept", (col("ty") - col("slope") * col("s1")) / col("s0"))
+    val flagged = base.join(broadcast(withFit.select("p", "slope", "icept")), Seq("p"))
+      .withColumn("pred", col("icept") + col("slope") * col("xi"))
+      .withColumn("flag", col("pred") > col("tot") * 1.1 || col("pred") < col("tot") * 0.9)
+      .groupBy(col("p"))
+      .agg(first(col("slope")).as("slope"), first(col("icept")).as("icept"),
+        sum(when(col("flag"), 1L).otherwise(0L)).as("n_flags"))
+    flagged.select(col("p"), round(col("slope"), 6).as("slope"),
+      round(col("icept"), 6).as("icept"), col("n_flags"))
+      .orderBy("p")
+  }
+
+  /** M1 degree-2 OLS (closed-form Cramer over exact moments). */
+  def q19Polyfit2(s: SparkSession, dir: String): DataFrame = {
+    val base = monthly(s, dir)
+      .withColumn("xi", (col("mi") - min(col("mi")).over(Window.partitionBy(col("p")))).cast("double"))
+    Series.olsDeg2(base, Seq("p"), "xi", "tot")
+      .select(col("p"), round(col("c0"), 4).as("c0"),
+        round(col("c1"), 4).as("c1"), round(col("c2"), 4).as("c2"))
+      .orderBy("p")
+  }
+}
+
+object SeriesSql {
+  private val Base =
+    """SELECT o_orderpriority AS p, year(o_orderdate) AS yr,
+      |  CAST(year(o_orderdate)*12 + month(o_orderdate) AS INTEGER) AS mi,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS tot
+      |FROM orders GROUP BY 1, 2, 3""".stripMargin
+
+  val q09GrowthRate: String =
+    s"""WITH base AS ($Base)
+       |SELECT p, mi, ROUND(gr, 6) AS gr FROM (
+       |  SELECT p, mi, (LEAD(tot) OVER (PARTITION BY p ORDER BY mi) - tot) / tot * 100 AS gr
+       |  FROM base
+       |) WHERE gr IS NOT NULL ORDER BY p, mi""".stripMargin
+
+  val q10Roc: String =
+    s"""WITH base AS ($Base)
+       |SELECT p, mi, ROUND(roc, 6) AS roc FROM (
+       |  SELECT p, mi,
+       |    (LEAD(tot) OVER (PARTITION BY p ORDER BY mi) - tot)
+       |      / LEAD(tot) OVER (PARTITION BY p ORDER BY mi) * 100
+       |      / (mi - LEAD(mi) OVER (PARTITION BY p ORDER BY mi)) AS roc
+       |  FROM base
+       |) WHERE roc IS NOT NULL ORDER BY p, mi""".stripMargin
+
+  val q11BucketDrift: String =
+    s"""WITH base AS ($Base),
+       |yearly AS (
+       |  SELECT p, yr, CAST(SUM(CAST(tot AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_tot
+       |  FROM base GROUP BY p, yr
+       |), lagged AS (
+       |  SELECT p, yr, avg_tot, LAG(avg_tot) OVER (PARTITION BY p ORDER BY yr) AS prev
+       |  FROM yearly
+       |)
+       |SELECT p, yr, ROUND(avg_tot, 6) AS avg_tot,
+       |  ROUND(CASE WHEN prev IS NULL THEN NULL
+       |    WHEN prev = 0 OR avg_tot = 0 THEN 0.0
+       |    ELSE (avg_tot - prev) / prev * 100 END, 6) AS pct,
+       |  (prev IS NOT NULL AND (avg_tot > prev * 1.1 OR avg_tot < prev * 0.9)) AS drift
+       |FROM lagged ORDER BY p, yr""".stripMargin
+
+  val q12ThreeSigma: String =
+    s"""WITH base AS ($Base),
+       |gr AS (
+       |  SELECT * FROM (
+       |    SELECT p, mi, (LEAD(tot) OVER (PARTITION BY p ORDER BY mi) - tot) / tot * 100 AS gr
+       |    FROM base
+       |  ) WHERE gr IS NOT NULL
+       |), sig AS (
+       |  SELECT p, SQRT(
+       |    CAST(SUM(CAST(gr*gr AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
+       |    - (CAST(SUM(CAST(gr AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*))
+       |      * (CAST(SUM(CAST(gr AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*))) AS sigma
+       |  FROM gr GROUP BY p
+       |)
+       |SELECT gr.p, mi, ROUND(gr, 6) AS gr, ROUND(sigma, 6) AS sigma
+       |FROM gr JOIN sig ON gr.p = sig.p
+       |WHERE gr > sigma * 3.0 OR gr < -(sigma * 3.0)
+       |ORDER BY gr.p, mi""".stripMargin
+
+  val q13IqrOutliers: String =
+    """WITH q AS (
+      |  SELECT event_type,
+      |    quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+      |  FROM events GROUP BY event_type
+      |), f AS (
+      |  SELECT event_type, q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi FROM q
+      |)
+      |SELECT e.event_type, e.event_id, e.value
+      |FROM events e JOIN f ON e.event_type = f.event_type
+      |WHERE e.value < f.lo OR e.value > f.hi
+      |ORDER BY e.event_type, e.event_id""".stripMargin
+
+  val q14External: String =
+    """WITH avgs AS (
+      |  SELECT lang, source,
+      |    CAST(SUM(CAST(n_chars AS DECIMAL(28,0))) AS DOUBLE) / COUNT(*) AS avg_chars
+      |  FROM documents GROUP BY lang, source
+      |)
+      |SELECT a.lang, a.source AS src_a, b.source AS src_b,
+      |  ROUND(a.avg_chars, 6) AS val_a, ROUND(b.avg_chars, 6) AS val_b
+      |FROM avgs a JOIN avgs b ON a.lang = b.lang AND a.source < b.source
+      |WHERE a.avg_chars > b.avg_chars * 1.1 OR a.avg_chars < b.avg_chars * 0.9
+      |ORDER BY a.lang, src_a, src_b""".stripMargin
+
+  val q15MissingMonths: String =
+    """WITH daily AS (
+      |  SELECT o_orderpriority AS p,
+      |    CAST(FLOOR(epoch(o_orderdate) / 86400) AS INTEGER) AS di, COUNT(*) AS n
+      |  FROM orders GROUP BY 1, 2
+      |),
+      |r AS (SELECT p, MIN(di) AS mn, MAX(di) AS mx FROM daily GROUP BY p),
+      |seq AS (SELECT p, CAST(UNNEST(generate_series(mn, mx)) AS INTEGER) AS di FROM r)
+      |SELECT seq.p, seq.di FROM seq
+      |WHERE NOT EXISTS (SELECT 1 FROM daily b WHERE b.p = seq.p AND b.di = seq.di)
+      |ORDER BY seq.p, seq.di""".stripMargin
+
+  val q16Ols: String =
+    s"""WITH base AS ($Base),
+       |centered AS (
+       |  SELECT p, tot, CAST(mi - MIN(mi) OVER (PARTITION BY p) AS DOUBLE) AS xi FROM base
+       |), m AS (
+       |  SELECT p, CAST(COUNT(*) AS DOUBLE) AS s0, SUM(xi) AS s1, SUM(xi*xi) AS s2,
+       |    CAST(SUM(CAST(tot AS DECIMAL(28,6))) AS DOUBLE) AS ty,
+       |    CAST(SUM(CAST(xi*tot AS DECIMAL(28,6))) AS DOUBLE) AS txy
+       |  FROM centered GROUP BY p
+       |), fit AS (
+       |  SELECT p, s0, s1, ty,
+       |    (s0*txy - s1*ty) / (s0*s2 - s1*s1) AS slope
+       |  FROM m
+       |), fit2 AS (
+       |  SELECT p, slope, (ty - slope*s1) / s0 AS icept FROM fit
+       |)
+       |SELECT c.p, ROUND(slope, 6) AS slope, ROUND(icept, 6) AS icept,
+       |  CAST(SUM(CASE WHEN icept + slope*xi > tot*1.1 OR icept + slope*xi < tot*0.9
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flags
+       |FROM centered c JOIN fit2 ON c.p = fit2.p
+       |GROUP BY c.p, slope, icept ORDER BY c.p""".stripMargin
+
+  val q19Polyfit2: String = {
+    def det(a1: String, a2: String, a3: String, b1: String, b2: String, b3: String,
+        c1: String, c2: String, c3: String): String =
+      s"$a1 * ($b2 * $c3 - $b3 * $c2) - $a2 * ($b1 * $c3 - $b3 * $c1) + $a3 * ($b1 * $c2 - $b2 * $c1)"
+    val d  = det("s0", "s1", "s2", "s1", "s2", "s3", "s2", "s3", "s4")
+    val d0 = det("ty", "s1", "s2", "txy", "s2", "s3", "tx2y", "s3", "s4")
+    val d1 = det("s0", "ty", "s2", "s1", "txy", "s3", "s2", "tx2y", "s4")
+    val d2 = det("s0", "s1", "ty", "s1", "s2", "txy", "s2", "s3", "tx2y")
+    s"""WITH base AS ($Base),
+       |centered AS (
+       |  SELECT p, tot, CAST(mi - MIN(mi) OVER (PARTITION BY p) AS DOUBLE) AS xi FROM base
+       |), m AS (
+       |  SELECT p, CAST(COUNT(*) AS DOUBLE) AS s0, SUM(xi) AS s1, SUM(xi*xi) AS s2,
+       |    SUM(xi*xi*xi) AS s3, SUM(xi*xi*xi*xi) AS s4,
+       |    CAST(SUM(CAST(tot AS DECIMAL(28,6))) AS DOUBLE) AS ty,
+       |    CAST(SUM(CAST(xi*tot AS DECIMAL(28,6))) AS DOUBLE) AS txy,
+       |    CAST(SUM(CAST(xi*xi*tot AS DECIMAL(28,6))) AS DOUBLE) AS tx2y
+       |  FROM centered GROUP BY p
+       |)
+       |SELECT p, ROUND(($d0) / ($d), 4) AS c0, ROUND(($d1) / ($d), 4) AS c1,
+       |  ROUND(($d2) / ($d), 4) AS c2
+       |FROM m ORDER BY p""".stripMargin
+  }
+}
