@@ -39,6 +39,15 @@ object SparkEntry {
     "q17_topk"            -> (Relational.q17TopK _),
     "q18_pivot"           -> (Relational.q18Pivot _),
     "q27_sessionize"      -> (Relational.q27Sessionize _),
+    "q20_exact_dedup"     -> (PipelineQueries.q20ExactDedup _),
+    "q21_minhash_lsh"     -> (PipelineQueries.q21MinhashLsh _),
+    "q22_simhash"         -> (PipelineQueries.q22Simhash _),
+    "q23_ngram_jaccard"   -> (PipelineQueries.q23NgramJaccard _),
+    "q24_emb_dup"         -> (PipelineQueries.q24EmbDup _),
+    "q25_ann_brute"       -> (PipelineQueries.q25AnnBrute _),
+    "q26_ann_lsh"         -> (PipelineQueries.q26AnnLsh _),
+    "q28_text_quality"    -> (PipelineQueries.q28TextQuality _),
+    "q32_fingerprint"     -> (PipelineQueries.q32Fingerprint _),
     // flagship pipeline (not SQL-expressible: broadcast-model stages) —
     // driver records rows-only checks for these two.
     "q30_quality_filter"  -> (DocumentsAdapter.qualityFilterQuery _),
@@ -66,5 +75,10 @@ object SparkEntry {
     "q17_topk"            -> RelationalSql.q17TopK,
     "q18_pivot"           -> RelationalSql.q18Pivot,
     "q27_sessionize"      -> RelationalSql.q27Sessionize,
+    "q20_exact_dedup"     -> PipelineSql.q20ExactDedup,
+    "q23_ngram_jaccard"   -> PipelineSql.q23NgramJaccard,
+    "q24_emb_dup"         -> PipelineSql.q24EmbDup,
+    "q25_ann_brute"       -> PipelineSql.q25AnnBrute,
+    "q28_text_quality"    -> PipelineSql.q28TextQuality,
   )
 }

@@ -1,0 +1,105 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Baseline: brute-force cosine top-k (broadcast query set × full candidate
+  * scan — one pass, no shuffle except the per-query top-k window). Scale
+  * path: random-hyperplane LSH bucketing, which turns the candidate scan
+  * into an equi-join on (band, bits) — shuffle O(n·bands) instead of O(n·q).
+  *
+  * Ranking is on (round(sim, 6) DESC, id ASC): rounding before ranking makes
+  * the top-k reproducible across engines/architectures whose last-ulp cosine
+  * differs.
+  */
+object Ann {
+
+  /** Sequential left-fold dot product in double — deterministic per row. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Brute-force top-k: queries must be small (broadcast). */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+    val c = candidates.select(col(idCol).as("n_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("simr", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("simr").desc, col("n_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("n_id"), col("simr"))
+  }
+
+  // ---- random-hyperplane LSH ---------------------------------------------
+
+  /** Deterministic pseudo-random hyperplanes: nBits × dim, seeded. */
+  def planes(dim: Int, nBits: Int, seed: Long = 0x91a7eL): Array[Array[Double]] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(nBits)(Array.fill(dim)(r.nextGaussian()))
+  }
+
+  /** Sign-bit signature of a vector against the broadcast planes. */
+  def signature(vec: Array[Float], pl: Array[Array[Double]]): Int = {
+    var sig = 0
+    var b = 0
+    while (b < pl.length) {
+      var s = 0.0
+      val p = pl(b)
+      var i = 0
+      while (i < p.length && i < vec.length) { s += p(i) * vec(i); i += 1 }
+      if (s > 0) sig |= (1 << b)
+      b += 1
+    }
+    sig
+  }
+
+  /** LSH ANN: 16-bit hyperplane signatures, 4 bands × 4 bits candidate
+    * blocking, exact cosine re-rank of candidates, top-k per query.
+    */
+  def lshTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val nBits = 16
+    val bands = 4
+    val bitsPerBand = nBits / bands
+    val bc = spark.sparkContext.broadcast(planes(dim, nBits))
+
+    def banded(df: DataFrame, outId: String): DataFrame = {
+      df.select(col(idCol).cast("long"), col(vecCol))
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val pl = bc.value
+          it.flatMap { case (i, v) =>
+            val sig = signature(v, pl)
+            (0 until bands).iterator.map { b =>
+              (i, b, (sig >> (b * bitsPerBand)) & ((1 << bitsPerBand) - 1))
+            }
+          }
+        }.toDF(outId, "band", "bits")
+    }
+
+    val qb = banded(queries, "q_id")
+    val cb = banded(candidates, "n_id")
+    val cands = qb.join(cb, Seq("band", "bits"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id").distinct()
+    val withVecs = cands
+      .join(queries.select(col(idCol).cast("long").as("q_id"), col(vecCol).as("qv")), "q_id")
+      .join(candidates.select(col(idCol).cast("long").as("n_id"), col(vecCol).as("cv")), "n_id")
+      .withColumn("simr", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("simr").desc, col("n_id").asc)
+    withVecs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("n_id"), col("simr"))
+  }
+}

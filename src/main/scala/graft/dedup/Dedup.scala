@@ -1,0 +1,180 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, word-shingle
+  * Jaccard, MinHash+LSH, SimHash. All distributed, no driver-side loops.
+  *
+  * Scale notes (100 TB): exact dedup should group on `sha2(content, 256)`
+  * (fixed-width shuffle key) rather than raw content — the content-keyed
+  * variant here exists only so the DuckDB oracle can replicate it literally.
+  * LSH candidate generation shuffles (band, signature) pairs, so the shuffle
+  * volume is O(docs · bands), independent of pairwise O(n²).
+  */
+object Dedup {
+
+  /** Exact dedup: one survivor (min id) per identical key. */
+  def exactDedup(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dups"))
+
+  /** Distinct word n-gram shingles per row: (id, blockCols..., shingle).
+    * Sequence is guarded so short texts yield no shingles (Spark's default
+    * descending step on reversed bounds would otherwise fire).
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      blockCols: Seq[String] = Seq.empty): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val idxs = when(size(ws) >= n, sequence(lit(1), size(ws) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    val sh = transform(idxs, i =>
+      concat_ws(" ", (0 until n).map(o => element_at(ws, i + o)): _*))
+    df.select((idCol +: blockCols).map(col) :+ explode(sh).as("shingle"): _*)
+      .distinct()
+  }
+
+  /** Exact pairwise Jaccard ≥ threshold via shingle equi-join within blocks
+    * — the shuffle key is the shingle, so frequency-skewed shingles are the
+    * hot keys (AQE skew-join handles them; a stop-shingle filter would cap
+    * them at larger scales).
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n, blockCols)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(blockCols.map(col) :+ col(idCol).as("a_id") :+ col("shingle"): _*)
+    val b = sh.select(blockCols.map(col) :+ col(idCol).as("b_id") :+ col("shingle"): _*)
+    val inter = a.join(b, blockCols :+ "shingle")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("a_id"), col("n_sh").as("na")), "a_id")
+      .join(sizes.select(col(idCol).as("b_id"), col("n_sh").as("nb")), "b_id")
+      .withColumn("j", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("j") >= threshold)
+      .select(col("a_id"), col("b_id"), col("j"))
+  }
+
+  // ---- MinHash + LSH ----------------------------------------------------
+
+  val MinHashK = 16
+  val Bands = 4
+  val RowsPerBand: Int = MinHashK / Bands
+  // 31-bit Mersenne prime: affine products stay < 2^62, so the transform is
+  // overflow-free under ANSI mode (Spark 4 default) in pure column math.
+  private val MinHashPrime = 2147483647L
+
+  /** Deterministic affine coefficients for the K minhash functions. */
+  private val (coefA, coefB): (Array[Long], Array[Long]) = {
+    val r = new scala.util.Random(0x5eed)
+    (Array.fill(MinHashK)(math.abs(r.nextLong()) % (MinHashPrime - 1) + 1),
+      Array.fill(MinHashK)(math.abs(r.nextLong()) % MinHashPrime))
+  }
+
+  /** (id, sig: array<long>[K]) — one base xxhash64 per shingle reduced to
+    * the 31-bit domain, K affine transforms, array_min each: K·|shingles|
+    * work per row, all inside codegen'd expressions.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+      .groupBy(col(idCol))
+      .agg(collect_list(pmod(xxhash64(col("shingle")), lit(MinHashPrime))).as("hs"))
+    val sigCols = (0 until MinHashK).map { i =>
+      array_min(transform(col("hs"), h => pmod(h * coefA(i) + coefB(i), lit(MinHashPrime))))
+    }
+    sh.select(col(idCol), array(sigCols: _*).as("sig"))
+  }
+
+  /** LSH candidate pairs: equal band-signature in any band, then exact
+    * Jaccard verification of candidates only.
+    */
+  def lshNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sig = minhashSignatures(df, idCol, textCol, n)
+    val banded = sig.select(
+      col(idCol),
+      explode(array((0 until Bands).map { b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)).as("bsig"))
+      }: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bsig"))
+    val cands = banded.as("x").join(banded.as("y"), Seq("band", "bsig"))
+      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
+      .distinct()
+    // exact verify: jaccard over distinct shingle sets of candidates only
+    val sets = shingles(df, idCol, textCol, n)
+      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("ss"))
+    cands
+      .join(sets.select(col(idCol).as("a_id"), col("ss").as("sa")), "a_id")
+      .join(sets.select(col(idCol).as("b_id"), col("ss").as("sb")), "b_id")
+      .withColumn("j", round(
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))), 6))
+      .filter(col("j") >= threshold)
+      .select(col("a_id"), col("b_id"), col("j"))
+  }
+
+  // ---- SimHash -----------------------------------------------------------
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 * 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** 64-bit SimHash of whitespace tokens (pure function of text). */
+  def simhash64(text: String): Long = {
+    val v = new Array[Int](64)
+    text.split("\\s+").foreach { w =>
+      if (w.nonEmpty) {
+        val h = mix64(w.hashCode.toLong)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) v(b) += 1 else v(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (v(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** (id, simhash) via typed mapPartitions (tight JVM loop, broadcast-free). */
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (i, t) => (i, simhash64(t)) })
+      .toDF(idCol, "simhash")
+  }
+
+  /** Near-dup pairs with Hamming distance ≤ maxDist via 4×16-bit segment
+    * blocking (pigeonhole: dist ≤ 3 ⇒ at least one equal segment) +
+    * bit_count verification.
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame = {
+    val sh = simhashes(df, idCol, textCol)
+    val seg = sh.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map { s =>
+        struct(lit(s).as("seg"),
+          shiftrightunsigned(col("simhash"), s * 16).bitwiseAND(lit(0xffffL)).as("segv"))
+      }: _*)).as("e"))
+      .select(col(idCol), col("simhash"), col("e.seg"), col("e.segv"))
+    seg.as("x").join(seg.as("y"), Seq("seg", "segv"))
+      .filter(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
+}

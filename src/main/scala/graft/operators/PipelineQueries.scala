@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.ann.Ann
+import graft.core.{Exact, Tables}
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the driver testdata: dedup family,
+  * similarity search, text analysis. SQL-expressible ones have oracles in
+  * [[PipelineSql]]; hash-based ones (minhash/simhash/LSH/fingerprint) are
+  * rows-only and covered by ScalaTest ground-truth specs instead.
+  */
+object PipelineQueries {
+
+  /** Exact dedup on events.props (100 distinct values over the table). */
+  def q20ExactDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(Tables.events(s, dir), "props", "event_id")
+      .select(col("keep_id"), col("dups"))
+      .orderBy("keep_id")
+
+  /** MinHash+LSH near-dup pairs on documents (rows-only; ground truth =
+    * q23's exact Jaccard).
+    */
+  def q21MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshNearDupPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.8)
+      .orderBy("a_id", "b_id")
+
+  /** SimHash signatures (rows-only; deterministic per text). */
+  def q22Simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashes(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Exact word-3-gram Jaccard near-dup pairs, blocked by lang. */
+  def q23NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+      blockCols = Seq("lang"), n = 3, threshold = 0.8)
+      .orderBy("a_id", "b_id")
+
+  /** Embedding cosine near-dup pairs within label blocks. */
+  def q24EmbDup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("va"))
+    val b = e.select(col("label"), col("vec_id").as("b_id"), col("embedding").as("vb"))
+    a.join(b, "label")
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("simr", round(Ann.cosine(col("va"), col("vb")), 6))
+      .filter(col("simr") >= 0.4)
+      .select(col("a_id"), col("b_id"), col("simr"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Brute-force cosine top-3 ANN for the query subset vec_id % 97 == 0. */
+  def q25AnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Ann.bruteForceTopK(e.filter(col("vec_id") % 97 === 0), e, "vec_id", "embedding", 3)
+      .orderBy("q_id", "rk")
+  }
+
+  /** LSH-bucketed ANN for the same query set (rows-only; recall vs q25 is
+    * asserted in the spec).
+    */
+  def q26AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Ann.lshTopK(e.filter(col("vec_id") % 97 === 0), e, "vec_id", "embedding", 3, 64)
+      .orderBy("q_id", "rk")
+  }
+
+  /** Token/stopword quality metrics aggregated per lang. */
+  def q28TextQuality(s: SparkSession, dir: String): DataFrame = {
+    val d = TextAnalysis.withTokenMetrics(Tables.documents(s, dir))
+    d.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      round(sum(col("n_tokens")).cast("double") / count(lit(1)), 6).as("avg_tokens"),
+      round(Exact.dsum(col("stop_ratio"), 6) / count(lit(1)), 6).as("avg_stop_ratio"))
+      .orderBy("lang")
+  }
+
+  /** Rolling-hash fingerprints (rows-only; deterministic per text). */
+  def q32Fingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprints(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+}
+
+object PipelineSql {
+  val q20ExactDedup: String =
+    """SELECT MIN(event_id) AS keep_id, COUNT(*) AS dups
+      |FROM events GROUP BY props ORDER BY keep_id""".stripMargin
+
+  val q23NgramJaccard: String =
+    """WITH words AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, lang, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |  FROM words, UNNEST(generate_series(1, len(ws)-2)) t(i)
+      |),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT a_id, b_id, j FROM (
+      |  SELECT a_id, b_id,
+      |    ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS j
+      |  FROM pairs JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+      |) WHERE j >= 0.8 ORDER BY a_id, b_id""".stripMargin
+
+  val q24EmbDup: String =
+    """SELECT a_id, b_id, simr FROM (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |    ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS simr
+      |  FROM embeddings a JOIN embeddings b
+      |    ON a.label = b.label AND a.vec_id < b.vec_id
+      |) WHERE simr >= 0.4 ORDER BY a_id, b_id""".stripMargin
+
+  val q25AnnBrute: String =
+    """SELECT q_id, rk, n_id, simr FROM (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+      |    ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS simr,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+      |        c.vec_id ASC) AS rk
+      |  FROM embeddings q JOIN embeddings c ON q.vec_id % 97 = 0 AND q.vec_id <> c.vec_id
+      |) WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+
+  val q28TextQuality: String =
+    s"""WITH m AS (
+       |  SELECT lang,
+       |    len(regexp_extract_all(text, '${TextAnalysis.TokenPattern}')) AS n_tokens,
+       |    len(regexp_extract_all(lower(text), '${TextAnalysis.StopPattern}')) AS n_stop
+       |  FROM documents
+       |), r AS (
+       |  SELECT lang, n_tokens,
+       |    CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_tokens END AS stop_ratio
+       |  FROM m
+       |)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  ROUND(CAST(SUM(CAST(n_tokens AS BIGINT)) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+       |  ROUND(CAST(SUM(CAST(stop_ratio AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS avg_stop_ratio
+       |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+}

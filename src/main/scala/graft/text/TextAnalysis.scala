@@ -1,0 +1,94 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting
+  * (BPE-ish regex), stopword/quality ratios, rolling-hash fingerprints.
+  * Counting/ratio metrics are pure column expressions; the fingerprint is a
+  * typed mapPartitions stage (tight char loop).
+  */
+object TextAnalysis {
+
+  /** BPE-ish tokenizer pattern: letter runs, digit runs, single symbols. */
+  val TokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+  val StopPattern: String = "\\b(" + Stopwords.mkString("|") + ")\\b"
+
+  def nTokens(text: Column): Column = size(regexp_extract_all(text, lit(TokenPattern), lit(0)))
+  def nStopHits(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(StopPattern), lit(0)))
+
+  /** Per-document quality metrics as columns. */
+  def withTokenMetrics(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", nTokens(t))
+      .withColumn("n_stop", nStopHits(t))
+      .withColumn("stop_ratio",
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(col("n_stop").cast("double") / col("n_tokens")))
+  }
+
+  // ---- rolling-hash fingerprint (winnowing-style) ------------------------
+
+  private val FpBase = 1000003L
+  private val FpMod = (1L << 61) - 1
+
+  /** Document fingerprint: polynomial rolling hash over all k-grams of
+    * chars; the fingerprint is the XOR of the sampled hashes (those ≡ 0
+    * mod `sample`), falling back to the full-text hash when nothing
+    * samples. Pure function of content.
+    */
+  def fingerprint(text: String, k: Int = 8, sample: Int = 8): Long = {
+    val n = text.length
+    if (n == 0) return 0L
+    if (n < k) return polyHash(text, 0, n)
+    // precompute base^(k-1) mod p
+    var pk = 1L
+    var i = 0
+    while (i < k - 1) { pk = mulMod(pk, FpBase); i += 1 }
+    var h = polyHash(text, 0, k)
+    var acc = 0L
+    var any = false
+    if (h % sample == 0) { acc ^= h; any = true }
+    i = k
+    while (i < n) {
+      h = Math.floorMod(h - mulMod(text.charAt(i - k).toLong, pk), FpMod)
+      h = Math.floorMod(mulMod(h, FpBase) + text.charAt(i).toLong, FpMod)
+      if (h % sample == 0) { acc ^= h; any = true }
+      i += 1
+    }
+    if (any) acc else polyHash(text, 0, n)
+  }
+
+  /** (a·b) mod (2^61-1) via 128-bit product split: 2^61 ≡ 1 (mod p). */
+  private def mulMod(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    val h = (hi << 3) | (lo >>> 61)
+    var s = (lo & FpMod) + h
+    if (s >= FpMod) s -= FpMod
+    if (s >= FpMod) s -= FpMod
+    s
+  }
+
+  private def polyHash(s: String, from: Int, until: Int): Long = {
+    var h = 0L
+    var i = from
+    while (i < until) {
+      h = Math.floorMod(mulMod(h, FpBase) + s.charAt(i).toLong, FpMod)
+      i += 1
+    }
+    h
+  }
+
+  /** (id, fp) via typed mapPartitions. */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (i, t) => (i, fingerprint(t)) })
+      .toDF(idCol, "fp")
+  }
+}

