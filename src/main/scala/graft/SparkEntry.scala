@@ -48,6 +48,9 @@ object SparkEntry {
     "q26_ann_lsh"         -> (PipelineQueries.q26AnnLsh _),
     "q28_text_quality"    -> (PipelineQueries.q28TextQuality _),
     "q32_fingerprint"     -> (PipelineQueries.q32Fingerprint _),
+    "q33_media_features"  -> (PipelineQueries.q33MediaFeatures _),
+    "q34_polyfit3"        -> (PipelineQueries.q34Polyfit3 _),
+    "q35_frame_sample"    -> (PipelineQueries.q35FrameSample _),
     // flagship pipeline (not SQL-expressible: broadcast-model stages) —
     // driver records rows-only checks for these two.
     "q30_quality_filter"  -> (DocumentsAdapter.qualityFilterQuery _),

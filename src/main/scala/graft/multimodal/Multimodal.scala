@@ -1,0 +1,112 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** A multimodal corpus row: opaque binary payload + typed metadata —
+  * image/audio/video are `binary` columns with their decode parameters
+  * carried as columns, exactly the shape a 100 TB media table would have
+  * (payloads in parquet binary columns or object-store pointers).
+  */
+case class MediaFile(
+    media_id: Long,
+    kind: String, // "image" | "audio" | "video"
+    width: Int,
+    height: Int,
+    duration_ms: Int,
+    payload: Array[Byte])
+
+case class MediaFeatures(
+    media_id: Long,
+    kind: String,
+    n_bytes: Int,
+    feature: Array[Float])
+
+/** Multimodal plumbing with STUBBED decoders.
+  *
+  * The real decode step (JPEG/PNG/PCM/video codecs) is NOT implementable in
+  * this container — no image/audio libraries exist offline — so `decode*`
+  * below are deterministic fakes (byte histograms / metadata-driven
+  * sampling), clearly marked. Everything around them is real Spark
+  * plumbing: typed Dataset schema, mapPartitions with EXPLICIT BATCHING
+  * (the batch shape a GPU/JNI decoder needs), deterministic generation, and
+  * partition-friendly layout. Swapping the stub for a real codec changes
+  * one function body, not the pipeline.
+  */
+object Multimodal {
+
+  val FeatureDim = 16
+
+  private def mix(seed: Long, i: Long): Long = {
+    var z = seed ^ (i * 0x9e3779b97f4a7c15L)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic synthetic media table (no external data; partition-
+    * independent like [[graft.core.Corpus]]).
+    */
+  def generate(spark: SparkSession, n: Long, seed: Long = 42L, numParts: Int = 32): Dataset[MediaFile] = {
+    import spark.implicits._
+    spark.range(0, n, 1, numParts).mapPartitions(_.map { i =>
+      val rng = new java.util.SplittableRandom(mix(seed, i))
+      val kind = Vector("image", "audio", "video")(rng.nextInt(3))
+      val (w, h, dur) = kind match {
+        case "image" => (16 + rng.nextInt(240), 16 + rng.nextInt(240), 0)
+        case "audio" => (0, 0, 500 + rng.nextInt(60000))
+        case _       => (16 + rng.nextInt(120), 16 + rng.nextInt(120), 1000 + rng.nextInt(120000))
+      }
+      val size = 256 + rng.nextInt(4096)
+      val bytes = new Array[Byte](size)
+      var k = 0
+      while (k < size) { bytes(k) = (rng.nextInt(256) - 128).toByte; k += 1 }
+      MediaFile(i, kind, w, h, dur, bytes)
+    })
+  }
+
+  /** STUB decode: a real implementation would decode pixels/samples here.
+    * Deterministic fake = 16-bucket byte histogram normalized by length.
+    */
+  def decodeToFeature(payload: Array[Byte]): Array[Float] = {
+    val hist = new Array[Float](FeatureDim)
+    var i = 0
+    while (i < payload.length) {
+      hist((payload(i) & 0xff) >> 4) += 1f
+      i += 1
+    }
+    if (payload.length > 0) {
+      var b = 0
+      while (b < FeatureDim) { hist(b) /= payload.length; b += 1 }
+    }
+    hist
+  }
+
+  /** Feature extraction with explicit per-partition BATCHING: payloads are
+    * gathered `batchSize` at a time (the shape a vectorized/accelerator
+    * decoder consumes), then emitted. Streaming iterator — no full
+    * partition materialization.
+    */
+  def extractFeatures(ds: Dataset[MediaFile], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // a real decoder would process `batch` as one device call
+        batch.iterator.map { m =>
+          MediaFeatures(m.media_id, m.kind, m.payload.length, decodeToFeature(m.payload))
+        }
+      }
+    }
+  }
+
+  /** STUB frame sampling: selects frame indices from metadata only (a real
+    * impl would seek/decode). Deterministic: one frame per `everyMs`.
+    */
+  def frameSample(ds: Dataset[MediaFile], everyMs: Int = 1000): Dataset[(Long, Int)] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.filter(_.kind == "video").flatMap { m =>
+      (0 until math.max(1, m.duration_ms / everyMs)).map(f => (m.media_id, f))
+    }
+  }
+}

@@ -81,6 +81,42 @@ object PipelineQueries {
   def q32Fingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprints(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
+
+  /** Multimodal plumbing: synthetic binary media table → batched feature
+    * extraction (stub decode) → per-kind aggregates (rows-only).
+    */
+  def q33MediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val feats = Multimodal.extractFeatures(Multimodal.generate(s, 2000, 42L, 8))
+    feats.toDF()
+      .withColumn("f0", element_at(col("feature"), 1))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_bytes")).as("total_bytes"),
+        round(Exact.dsum(col("f0"), 6) / count(lit(1)), 6).as("avg_f0"))
+      .orderBy("kind")
+  }
+
+  /** Multimodal frame sampling from video metadata (stub; rows-only). */
+  def q35FrameSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val frames = Multimodal.frameSample(Multimodal.generate(s, 2000, 42L, 8), everyMs = 5000)
+    frames.toDF("media_id", "frame")
+      .agg(countDistinct(col("media_id")).as("n_videos"), count(lit(1)).as("n_frames"))
+  }
+
+  /** Degree-3 polynomial fit per priority via the typed Aggregator
+    * (rows-only; deg-1/2 are DuckDB-checked in q16/q19).
+    */
+  def q34Polyfit3(s: SparkSession, dir: String): DataFrame = {
+    val base = SeriesQueries.monthly(s, dir)
+      .withColumn("xi", (col("mi") - min(col("mi")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("p")))).cast("double"))
+    PolyFit.fit(base, "p", "xi", "tot", 3)
+      .select(col("p"), round(col("c0"), 2).as("c0"), round(col("c1"), 2).as("c1"),
+        round(col("c2"), 2).as("c2"), round(col("c3"), 2).as("c3"))
+      .orderBy("p")
+  }
 }
 
 object PipelineSql {

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** M1 (SURVEY.md §2.9): per-group polynomial least squares as a typed
+  * `Aggregator` — closed-form normal equations over running moments, no
+  * iteration, no MLlib, byte-stable given identical inputs. One pass,
+  * partial+final aggregation (the buffer is 2·d+1 x-moments and d+1
+  * xy-moments), so it scales like any hash aggregate.
+  *
+  * The reference fits PolynomialFeatures+LinearRegression per UI call
+  * (src/app.py:1801-1844); degree ≤ 3 there, same bound here.
+  */
+class PolyFitAggregator(degree: Int)
+    extends Aggregator[(String, Double, Double), Array[Double], Array[Double]] {
+  require(degree >= 1 && degree <= 3, "reference supports degree 1..3")
+  private val nx = 2 * degree + 1
+  private val ny = degree + 1
+
+  override def zero: Array[Double] = new Array[Double](nx + ny)
+
+  override def reduce(b: Array[Double], a: (String, Double, Double)): Array[Double] = {
+    val x = a._2
+    val y = a._3
+    var p = 1.0
+    var i = 0
+    while (i < nx) { b(i) += p; p *= x; i += 1 }
+    p = 1.0
+    var j = 0
+    while (j < ny) { b(nx + j) += p * y; p *= x; j += 1 }
+    b
+  }
+
+  override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
+    var i = 0
+    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  /** Solve the (d+1)×(d+1) normal equations with partial-pivot Gauss. */
+  override def finish(b: Array[Double]): Array[Double] = {
+    val n = ny
+    val m = Array.tabulate(n, n + 1) { (r, c) =>
+      if (c < n) b(r + c) else b(nx + r)
+    }
+    var col0 = 0
+    while (col0 < n) {
+      var piv = col0
+      var r = col0 + 1
+      while (r < n) { if (math.abs(m(r)(col0)) > math.abs(m(piv)(col0))) piv = r; r += 1 }
+      val t = m(col0); m(col0) = m(piv); m(piv) = t
+      val d = m(col0)(col0)
+      if (d != 0.0) {
+        r = 0
+        while (r < n) {
+          if (r != col0) {
+            val f = m(r)(col0) / d
+            var c = col0
+            while (c <= n) { m(r)(c) -= f * m(col0)(c); c += 1 }
+          }
+          r += 1
+        }
+      }
+      col0 += 1
+    }
+    Array.tabulate(n)(i => if (m(i)(i) == 0.0) 0.0 else m(i)(n) / m(i)(i))
+  }
+
+  override def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+  override def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+}
+
+object PolyFit {
+
+  /** Per-group polynomial fit: returns (group, c0..cd). */
+  def fit(df: DataFrame, group: String, x: String, y: String, degree: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fitted = df
+      .select(col(group).cast("string"), col(x).cast("double"), col(y).cast("double"))
+      .as[(String, Double, Double)]
+      .groupByKey(_._1)
+      .agg(new PolyFitAggregator(degree).toColumn.name("coeffs"))
+      .toDF(group, "coeffs")
+    (0 to degree).foldLeft(fitted) { (d, i) =>
+      d.withColumn(s"c$i", element_at(col("coeffs"), i + 1))
+    }.drop("coeffs")
+  }
+}

@@ -1,0 +1,43 @@
+package graft.pipeline
+
+import graft.core.SourceFile
+import graft.table.SnapshotTable
+import org.apache.spark.sql.functions._
+
+/** Incremental batch execution of the quality filter over a snapshot table
+  * (SURVEY.md §2.10: the reference has no streaming; the target's
+  * resumability is snapshot-diff incremental batch).
+  *
+  * The unit of work is one input snapshot: its added files are filtered and
+  * the labeled output + metrics are committed under a commit key derived
+  * from the input version. Re-running after a crash re-derives the same
+  * pending set and every already-committed key is a no-op append — the
+  * final table state is identical and no metrics row is duplicated (north
+  * rule: idempotent resume from the last committed snapshot).
+  */
+object IncrementalRunner {
+
+  def outKey(inputVersion: Long): String = s"qf-$inputVersion"
+  def metricsKey(inputVersion: Long): String = s"qfm-$inputVersion"
+
+  /** Process all input snapshots not yet committed to `output`; returns the
+    * versions processed in this call.
+    */
+  def processNew(
+      input: SnapshotTable,
+      output: SnapshotTable,
+      metricsOut: SnapshotTable,
+      cfg: QualityFilter.Config = QualityFilter.Config()): Seq[Long] = {
+    val spark = input.spark
+    import spark.implicits._
+    val done = output.snapshots().map(_.commitKey).toSet
+    val pending = input.snapshots().map(_.version).filter(v => !done.contains(outKey(v)))
+    pending.foreach { v =>
+      val batch = input.readAddedOf(v).as[SourceFile]
+      val res = QualityFilter.run(batch, cfg)
+      output.append(res.labeled.drop("content", "scrubbed"), outKey(v))
+      metricsOut.append(res.metrics.withColumn("input_version", lit(v)), metricsKey(v))
+    }
+    pending
+  }
+}

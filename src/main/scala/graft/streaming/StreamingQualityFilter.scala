@@ -1,0 +1,56 @@
+package graft.streaming
+
+import graft.core.SourceFile
+import graft.functions.TextMetrics
+import graft.scrub.Scrub
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructType}
+
+/** Structured Streaming surface of the engine.
+  *
+  * The stateless pipeline stages (heuristic metrics, rule predicates with
+  * PRE-TRAINED broadcast stats, scrub, sha256) are pure row functions, so
+  * they run unchanged under `readStream` — same Columns, same byte-stable
+  * output as batch. Statistical fences require corpus-level aggregates, so
+  * in streaming they are applied from a frozen stats snapshot (the batch
+  * job refreshes them per snapshot commit; SURVEY.md §2.10 maps the
+  * reference's request-driven recompute to exactly this split).
+  */
+object StreamingQualityFilter {
+
+  val corpusSchema: StructType = new StructType()
+    .add("repo", "string").add("path", "string").add("commit", "string")
+    .add("lang", "string").add("content", "string")
+
+  /** Stateless metric+scrub projection shared by batch and stream. */
+  def statelessStages(df: DataFrame, cfg: graft.pipeline.QualityFilter.Config): DataFrame = {
+    val withM = TextMetrics.withMetrics(df)
+    // heuristic-only reasons (stat fences need corpus stats; see class doc)
+    val reasons = graft.pipeline.QualityFilter.reasonExprs(cfg)
+      .filterNot { case (n, _) => Set("lang_mismatch", "ppl_outlier", "len_outlier")(n) }
+    val arr = filter(array(reasons.map { case (n, c) => when(c, lit(n)) }: _*), x => x.isNotNull)
+    withM
+      .withColumn("drop_reasons", arr)
+      .withColumn("keep", size(col("drop_reasons")) === 0)
+      .withColumn("content_sha256", Scrub.sha256Hex(col("content")))
+      .withColumn("scrubbed", Scrub.scrub(col("content")))
+      .withColumn("scrubbed_sha256", Scrub.sha256Hex(col("scrubbed")))
+  }
+
+  /** File-source stream over a directory of corpus parquet. */
+  def stream(spark: SparkSession, inputDir: String,
+      cfg: graft.pipeline.QualityFilter.Config = graft.pipeline.QualityFilter.Config()): DataFrame =
+    statelessStages(spark.readStream.schema(corpusSchema).parquet(inputDir), cfg)
+
+  /** Windowed keep/drop rate over an event-time column, with watermark —
+    * the monitoring aggregation of the streaming pipeline.
+    */
+  def keepRateByWindow(labeled: DataFrame, tsCol: String,
+      window: String = "5 minutes", watermark: String = "10 minutes"): DataFrame =
+    labeled
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col("lang"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+}

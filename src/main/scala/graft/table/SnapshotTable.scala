@@ -1,0 +1,149 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-semantics table layer from scratch (SURVEY.md §7.2: no Iceberg
+  * jar offline): immutable parquet data files + a JSON snapshot log with
+  * atomic commits, snapshot reads, snapshot-diff incremental reads, and
+  * idempotent commit keys for resume.
+  *
+  * Layout:
+  * {{{
+  *   root/data/<commitKey>-<n>/part-*.parquet   immutable, write-once
+  *   root/_log/v%08d.json                       snapshot manifest n
+  * }}}
+  *
+  * A snapshot manifest lists ALL live data dirs (full-table state, like an
+  * Iceberg manifest list) plus the dirs ADDED by that snapshot (for diff
+  * reads) and the writer's commit key. Commit = atomic rename of a staged
+  * manifest to the next version slot; losers of the race re-read the log
+  * and retry, and a commit whose key is already present becomes a no-op —
+  * re-running a failed job cannot duplicate data (north rule: resume
+  * idempotently from the last committed snapshot).
+  *
+  * Scale notes: the log holds directory names, not row data; data files are
+  * written by executors via the normal parquet writer (partitioned,
+  * size-balanced by the caller via repartitionByRange); only the tiny
+  * manifest rename is driver-side.
+  */
+final class SnapshotTable(val spark: SparkSession, val root: String) {
+  private val logDir = Paths.get(root, "_log")
+  private val dataDir = Paths.get(root, "data")
+
+  Files.createDirectories(logDir)
+  Files.createDirectories(dataDir)
+
+  case class Snapshot(version: Long, commitKey: String, added: Seq[String], live: Seq[String])
+
+  private def manifestPath(v: Long): Path = logDir.resolve(f"v$v%08d.json")
+
+  private def parse(json: String): Snapshot = {
+    // minimal flat-JSON parser for our own writer's output
+    def field(name: String): String = {
+      val m = ("\"" + name + "\"\\s*:\\s*(\\[[^\\]]*\\]|\"[^\"]*\"|\\d+)").r
+      m.findFirstMatchIn(json).map(_.group(1)).getOrElse(
+        throw new IllegalStateException(s"bad manifest: missing $name"))
+    }
+    def strs(raw: String): Seq[String] =
+      "\"([^\"]*)\"".r.findAllMatchIn(raw).map(_.group(1)).toSeq
+    Snapshot(field("version").toLong,
+      strs(field("commitKey")).headOption.getOrElse(""),
+      strs(field("added")), strs(field("live")))
+  }
+
+  private def render(s: Snapshot): String = {
+    def arr(xs: Seq[String]) = xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
+    s"""{"version": ${s.version}, "commitKey": "${s.commitKey}", "added": ${arr(s.added)}, "live": ${arr(s.live)}}"""
+  }
+
+  def snapshots(): Seq[Snapshot] =
+    Files.list(logDir).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.matches("v\\d{8}\\.json"))
+      .sortBy(_.getFileName.toString)
+      .map(p => parse(new String(Files.readAllBytes(p), "UTF-8")))
+
+  def latest(): Option[Snapshot] = snapshots().lastOption
+
+  def findByKey(commitKey: String): Option[Snapshot] =
+    snapshots().find(_.commitKey == commitKey)
+
+  /** Append `df` under `commitKey`. Idempotent: if a snapshot with this key
+    * is already committed, nothing is written and that snapshot is
+    * returned. Data is staged before the manifest commit, so a crash
+    * between the two leaves only unreferenced files (never a partial
+    * snapshot).
+    */
+  def append(df: DataFrame, commitKey: String): Snapshot = {
+    findByKey(commitKey) match {
+      case Some(existing) => existing
+      case None =>
+        val dirName = s"$commitKey-${java.util.UUID.randomUUID().toString.take(8)}"
+        val target = dataDir.resolve(dirName)
+        df.write.mode("errorifexists").parquet(target.toString)
+        commitLoop(commitKey, Seq(dirName))
+    }
+  }
+
+  @annotation.tailrec
+  private def commitLoop(commitKey: String, added: Seq[String]): Snapshot = {
+    val cur = latest()
+    // another writer may have committed our key while we staged
+    findByKey(commitKey) match {
+      case Some(existing) => existing
+      case None =>
+        val next = Snapshot(
+          version = cur.map(_.version + 1).getOrElse(0L),
+          commitKey = commitKey,
+          added = added,
+          live = cur.map(_.live).getOrElse(Seq.empty) ++ added)
+        val staged = logDir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
+        Files.write(staged, render(next).getBytes("UTF-8"))
+        try {
+          // atomic publish: exactly one writer can claim version slot n
+          Files.move(staged, manifestPath(next.version), StandardCopyOption.ATOMIC_MOVE)
+          next
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            Files.deleteIfExists(staged)
+            commitLoop(commitKey, added) // lost the race; re-read log, retry
+        }
+    }
+  }
+
+  private def readDirs(dirs: Seq[String]): DataFrame = {
+    require(dirs.nonEmpty, "empty snapshot read")
+    spark.read.parquet(dirs.map(d => dataDir.resolve(d).toString): _*)
+  }
+
+  /** Full table at the latest snapshot. */
+  def read(): DataFrame = readDirs(latest().map(_.live).getOrElse(Seq.empty))
+
+  /** Full table at a specific version (time travel). */
+  def readVersion(version: Long): DataFrame = {
+    val s = snapshots().find(_.version == version)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot $version"))
+    readDirs(s.live)
+  }
+
+  /** Incremental read: rows added AFTER `sinceVersion` (exclusive), up to
+    * the latest snapshot — the resume path of the pipeline.
+    */
+  def readSince(sinceVersion: Long): Option[DataFrame] = {
+    val newDirs = snapshots().filter(_.version > sinceVersion).flatMap(_.added)
+    if (newDirs.isEmpty) None else Some(readDirs(newDirs))
+  }
+
+  /** Rows added BY exactly one snapshot version. */
+  def readAddedOf(version: Long): DataFrame = {
+    val s = snapshots().find(_.version == version)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot $version"))
+    readDirs(s.added)
+  }
+}
+
+object SnapshotTable {
+  def apply(spark: SparkSession, root: String): SnapshotTable =
+    new SnapshotTable(spark, root)
+}
