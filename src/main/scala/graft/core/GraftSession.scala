@@ -15,6 +15,10 @@ object GraftSession {
   /** Apply engine defaults onto an arbitrary builder. */
   def tuned(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // permissive arithmetic (div-by-zero → null, casts don't throw): the
+      // reference's pandas semantics; rows with null derived metrics drop
+      // out of the derived series instead of failing the job
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -5,13 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Per-file heuristic metric columns — the engine's analogue of the
   * reference's per-row derived series (SURVEY.md §7.1: W1/W2 → per-file
-  * metrics). All pure Catalyst column expressions: codegen'd, no UDFs, so
-  * they stay inside WholeStageCodegen and vectorize over the parquet scan.
+  * metrics).
   *
-  * Exact semantics are mirrored 1:1 by [[graft.oracle.SeqOracle]] — any
-  * change here must change the oracle identically (the F1 gate depends on
-  * it). Note: Spark `split` keeps trailing empty strings (Java split with
-  * limit -1); `length` counts codepoints.
+  * The counting core is the single-pass native [[TextStats]] expression
+  * (one byte scan per row); the derived ratios are plain column arithmetic.
+  * [[withMetricsRegex]] keeps the original builtin-functions formulation —
+  * semantically identical — as the differential-test twin and as
+  * documentation of the spec. The sequential mirror lives in
+  * [[graft.oracle.SeqOracle]]; any semantic change must change all three.
   */
 object TextMetrics {
 
@@ -20,10 +21,35 @@ object TextMetrics {
     */
   val BadCharPattern = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\uFFFD]"
 
-  def lines(c: Column): Column = split(c, "\n", -1)
+  /** Derived metric columns from a TextStats struct column. */
+  private def derived(ts: Column): Seq[(String, Column)] = Seq(
+    "n_chars" -> ts.getField("n_chars"),
+    "n_lines" -> ts.getField("n_lines"),
+    "max_line_len" -> ts.getField("max_line_len"),
+    "avg_line_len" -> (ts.getField("n_chars").cast("double") / ts.getField("n_lines")),
+    "alnum_ratio" -> when(ts.getField("n_chars") === 0, lit(0.0))
+      .otherwise(ts.getField("alnum").cast("double") / ts.getField("n_chars")),
+    "dup_line_ratio" -> when(ts.getField("n_lines") === 0, lit(0.0))
+      .otherwise(lit(1.0) - ts.getField("distinct_lines").cast("double") / ts.getField("n_lines")),
+    "n_words" -> ts.getField("n_words"),
+    "mean_word_len" -> when(ts.getField("n_words") === 0, lit(0.0))
+      .otherwise(ts.getField("nonspace").cast("double") / ts.getField("n_words")),
+    "has_bad_chars" -> ts.getField("has_bad_chars")
+  )
 
-  def metricColumns(content: Column): Seq[(String, Column)] = {
-    val ls = lines(content)
+  /** Attach all metric columns to `df` via the single-pass expression. */
+  def withMetrics(df: DataFrame, contentCol: String = "content"): DataFrame = {
+    val withTs = df.withColumn("_ts", TextStats.col(col(contentCol)))
+    derived(col("_ts")).foldLeft(withTs) { case (d, (n, c)) => d.withColumn(n, c) }
+      .drop("_ts")
+  }
+
+  /** Original builtin-functions formulation (regex + array ops): the spec
+    * twin used by the differential test. Do not use in the hot path.
+    */
+  def withMetricsRegex(df: DataFrame, contentCol: String = "content"): DataFrame = {
+    val content = col(contentCol)
+    val ls = split(content, "\n", -1)
     val lineLens = transform(ls, l => length(l))
     val nChars = length(content)
     val nLines = size(ls)
@@ -31,7 +57,7 @@ object TextMetrics {
     val nonSpace = length(regexp_replace(content, "\\s", ""))
     val words = filter(split(content, "\\s+", -1), w => length(w) > 0)
     val nWords = size(words)
-    Seq(
+    val cols = Seq(
       "n_chars" -> nChars,
       "n_lines" -> nLines,
       "max_line_len" -> coalesce(array_max(lineLens), lit(0)),
@@ -45,9 +71,6 @@ object TextMetrics {
         .otherwise(nonSpace.cast("double") / nWords),
       "has_bad_chars" -> content.rlike(BadCharPattern)
     )
+    cols.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
   }
-
-  /** Attach all metric columns to `df` (content column named `content`). */
-  def withMetrics(df: DataFrame, contentCol: String = "content"): DataFrame =
-    metricColumns(col(contentCol)).foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
 }

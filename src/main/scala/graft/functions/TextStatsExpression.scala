@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass text statistics as a native Catalyst expression.
+  *
+  * Replaces three `regexp_replace`/`rlike` passes and two `split`+array
+  * pipelines with ONE scan over the UTF-8 bytes — the profiled hot spot of
+  * the quality-filter metrics stage (jstack showed most executor threads in
+  * java.util.regex). Semantics are BYTE-FOR-BYTE the same as the column
+  * formulation they replace (and as graft.oracle.SeqOracle.metrics):
+  *
+  *  - n_chars  = codepoint count (UTF8String.numChars semantics)
+  *  - n_lines  = split(content, "\n", -1).length
+  *  - max_line_len = max codepoints per line
+  *  - alnum    = length(regexp_replace(content, "[^A-Za-z0-9]", "")) —
+  *    ASCII alnum codepoints (non-ASCII is never [A-Za-z0-9])
+  *  - nonspace = length(regexp_replace(content, "\\s", "")) — Java \s is
+  *    exactly ASCII [ \t\n\x0B\f\r]
+  *  - n_words  = count of maximal non-\s runs
+  *  - distinct_lines = split-lines distinct count
+  *  - has_bad  = rlike "[\x00-\x08\x0B\x0C\x0E-\x1F�]"
+  *
+  * UTF-8 byte facts used: '\n' and all \s/alnum/control bytes are ASCII and
+  * never appear inside multi-byte sequences; U+FFFD is EF BF BD; codepoint
+  * count = count of non-continuation bytes ((b & 0xC0) != 0x80).
+  */
+case class TextStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = TextStats.schema
+  override def nullIntolerant: Boolean = true
+
+  override protected def withNewChildInternal(newChild: Expression): TextStats =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val bytes = s.getBytes // may copy once; all scanning is on this array
+    val n = bytes.length
+
+    var nChars = 0
+    var nLines = 1
+    var maxLine = 0
+    var curLine = 0
+    var alnum = 0
+    var nonspace = 0
+    var nWords = 0
+    var inWord = false
+    var hasBad = false
+    var lineStart = 0
+    val lineHashes = new java.util.HashSet[Any]()
+
+    def endLine(endExcl: Int): Unit = {
+      if (curLine > maxLine) maxLine = curLine
+      lineHashes.add(UTF8String.fromBytes(bytes, lineStart, endExcl - lineStart))
+      curLine = 0
+    }
+
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      val cont = (b & 0xc0) == 0x80
+      if (!cont) nChars += 1
+      if (b == '\n') {
+        endLine(i)
+        nLines += 1
+        lineStart = i + 1
+      } else if (!cont) {
+        curLine += 1
+      }
+      // ASCII classifications; multi-byte codepoints are never \s or alnum,
+      // so counting at non-continuation bytes counts codepoints exactly
+      val isWs = b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+      if (!isWs && !cont) nonspace += 1
+      if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') || (b >= '0' && b <= '9')) alnum += 1
+      if (!isWs) {
+        if (!inWord) { nWords += 1; inWord = true }
+      } else inWord = false
+      if ((b >= 0 && b <= 0x08) || b == 0x0b || b == 0x0c || (b >= 0x0e && b <= 0x1f)) hasBad = true
+      // U+FFFD = EF BF BD
+      if (b == 0xef.toByte && i + 2 < n && bytes(i + 1) == 0xbf.toByte && bytes(i + 2) == 0xbd.toByte)
+        hasBad = true
+      i += 1
+    }
+    endLine(n)
+
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      nChars, nLines, maxLine, alnum, nonspace, nWords, lineHashes.size(), hasBad))
+  }
+}
+
+object TextStats {
+  val schema: StructType = new StructType()
+    .add("n_chars", IntegerType, nullable = false)
+    .add("n_lines", IntegerType, nullable = false)
+    .add("max_line_len", IntegerType, nullable = false)
+    .add("alnum", IntegerType, nullable = false)
+    .add("nonspace", IntegerType, nullable = false)
+    .add("n_words", IntegerType, nullable = false)
+    .add("distinct_lines", IntegerType, nullable = false)
+    .add("has_bad_chars", BooleanType, nullable = false)
+
+  def col(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(new TextStats(ColumnBridge.expression(c)))
+  }
+}

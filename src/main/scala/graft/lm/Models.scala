@@ -1,0 +1,112 @@
+package graft.lm
+
+import graft.core.SourceFile
+import org.apache.spark.sql.Dataset
+import scala.collection.mutable
+
+/** Fused single-pass training of both broadcast models.
+  *
+  * One mapPartitions pass over the corpus emits pre-aggregated counts for
+  * all four families — (langid trigram, ppl unigram, ppl bigram, lang doc
+  * count) — as (kind, lang, bucket, cnt) rows, one shuffle, one collect.
+  * Counts are integers, so the models are bit-identical at any parallelism,
+  * and the result equals training each model separately ([[LangId.train]] /
+  * [[Perplexity.train]] remain as the single-model API).
+  *
+  * At scale this halves the training passes over a 100 TB corpus; the
+  * shuffle volume is bounded by partitions × (|langs|·2^14 + nonzero ppl
+  * buckets), independent of row count.
+  */
+object Models {
+
+  case class Trained(langId: LangId.Model, ppl: Perplexity.Model)
+
+  private final val KindTri = 0
+  private final val KindUni = 1
+  private final val KindBi = 2
+  private final val KindDoc = 3
+
+  def train(ds: Dataset[SourceFile]): Trained = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    // one training task per core: each task allocates ~5 MB of dense count
+    // arrays and emits their nonzero entries, so fewer/bigger tasks cut the
+    // zeroing + emission volume linearly (cluster note: cap stays sensible
+    // because defaultParallelism tracks total executor cores)
+    val nTasks = math.max(2, spark.sparkContext.defaultParallelism)
+    val input = if (ds.rdd.getNumPartitions > nTasks * 2) ds.coalesce(nTasks) else ds
+    val rows = input.mapPartitions { it =>
+      // dense per-lang count arrays: zero hashing/boxing on the hot path
+      // (the profiled cost of tuple-keyed HashMaps at 32 concurrent tasks)
+      val langIdx = new mutable.HashMap[String, Int]()
+      val langNames = new mutable.ArrayBuffer[String]()
+      val tri = new mutable.ArrayBuffer[Array[Long]]()
+      val docs = new mutable.ArrayBuffer[Long]()
+      val uni = new Array[Long](Perplexity.Buckets)
+      val bi = new Array[Long](Perplexity.Buckets)
+      it.foreach { f =>
+        val li = langIdx.getOrElseUpdate(f.lang, {
+          langNames += f.lang
+          tri += new Array[Long](LangId.Buckets)
+          docs += 0L
+          langNames.size - 1
+        })
+        docs(li) += 1
+        val triArr = tri(li)
+        val c = f.content
+        var i = 0
+        val n = c.length
+        while (i + 2 < n) {
+          triArr(LangId.bucket(c.charAt(i), c.charAt(i + 1), c.charAt(i + 2))) += 1
+          i += 1
+        }
+        val ts = Perplexity.tokens(f.content)
+        if (ts.nonEmpty) {
+          var prev = Perplexity.uniBucket(ts(0))
+          uni(prev) += 1
+          var j = 1
+          while (j < ts.length) {
+            val cur = Perplexity.uniBucket(ts(j))
+            uni(cur) += 1
+            bi(Perplexity.biBucket(prev, cur)) += 1
+            prev = cur
+            j += 1
+          }
+        }
+      }
+      def nonzero(kind: Int, lang: String, arr: Array[Long]): Iterator[(Int, String, Int, Long)] =
+        arr.iterator.zipWithIndex.collect { case (c, b) if c != 0 => (kind, lang, b, c) }
+      langNames.iterator.zipWithIndex.flatMap { case (l, li) =>
+        nonzero(KindTri, l, tri(li)) ++ Iterator((KindDoc, l, 0, docs(li)))
+      } ++ nonzero(KindUni, "", uni) ++ nonzero(KindBi, "", bi)
+    }.toDF("kind", "lang", "bucket", "cnt")
+      .groupBy("kind", "lang", "bucket")
+      .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+      .collect()
+
+    val docCounts = rows.filter(_.getInt(0) == KindDoc)
+      .map(r => (r.getString(1), r.getLong(3))).sortBy(_._1)
+    val langs = docCounts.map(_._1)
+    val idx = langs.zipWithIndex.toMap
+    val totalDocs = docCounts.map(_._2).sum.toDouble
+    val logPrior = docCounts.map(dc => math.log(dc._2 / totalDocs))
+    val raw = Array.fill(langs.length)(new Array[Long](LangId.Buckets))
+    val uni = new Array[Long](Perplexity.Buckets)
+    val bi = new Array[Long](Perplexity.Buckets)
+    rows.foreach { r =>
+      r.getInt(0) match {
+        case KindTri =>
+          val l = idx.getOrElse(r.getString(1), -1)
+          if (l >= 0) raw(l)(r.getInt(2)) = r.getLong(3)
+        case KindUni => uni(r.getInt(2)) = r.getLong(3)
+        case KindBi => bi(r.getInt(2)) = r.getLong(3)
+        case _ => ()
+      }
+    }
+    val logProb = raw.map { arr =>
+      val tot = arr.sum.toDouble + LangId.Buckets
+      arr.map(c => math.log((c + 1) / tot))
+    }
+    Trained(new LangId.Model(langs, logPrior, logProb), new Perplexity.Model(uni, bi))
+  }
+}

@@ -48,40 +48,8 @@ object Perplexity {
     }
   }
 
-  def train(ds: Dataset[SourceFile]): Model = {
-    val spark = ds.sparkSession
-    import spark.implicits._
-    val counts = ds.mapPartitions { it =>
-      val uniAcc = new mutable.LongMap[Long]()
-      val biAcc = new mutable.LongMap[Long]()
-      it.foreach { f =>
-        val ts = tokens(f.content)
-        if (ts.nonEmpty) {
-          var prev = uniBucket(ts(0))
-          uniAcc(prev) = uniAcc.getOrElse(prev.toLong, 0L) + 1
-          var i = 1
-          while (i < ts.length) {
-            val cur = uniBucket(ts(i))
-            uniAcc(cur) = uniAcc.getOrElse(cur.toLong, 0L) + 1
-            val b = biBucket(prev, cur)
-            biAcc(b) = biAcc.getOrElse(b.toLong, 0L) + 1
-            prev = cur
-            i += 1
-          }
-        }
-      }
-      uniAcc.iterator.map { case (b, c) => (0, b.toInt, c) } ++
-        biAcc.iterator.map { case (b, c) => (1, b.toInt, c) }
-    }.toDF("kind", "bucket", "cnt")
-      .groupBy("kind", "bucket").agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
-      .collect()
-
-    val uni = new Array[Long](Buckets)
-    val bi = new Array[Long](Buckets)
-    counts.foreach { r =>
-      if (r.getInt(0) == 0) uni(r.getInt(1)) = r.getLong(2)
-      else bi(r.getInt(1)) = r.getLong(2)
-    }
-    new Model(uni, bi)
-  }
+  /** Distributed training (delegates to the fused single-pass trainer —
+    * one implementation, identical models).
+    */
+  def train(ds: Dataset[SourceFile]): Model = Models.train(ds).ppl
 }

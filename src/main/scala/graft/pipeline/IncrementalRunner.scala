@@ -35,8 +35,9 @@ object IncrementalRunner {
     pending.foreach { v =>
       val batch = input.readAddedOf(v).as[SourceFile]
       val res = QualityFilter.run(batch, cfg)
-      output.append(res.labeled.drop("content", "scrubbed"), outKey(v))
+      output.append(res.slim, outKey(v))
       metricsOut.append(res.metrics.withColumn("input_version", lit(v)), metricsKey(v))
+      res.slim.unpersist()
     }
     pending
   }

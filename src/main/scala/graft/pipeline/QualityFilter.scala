@@ -14,8 +14,11 @@ case class Scored(
     repo: String, path: String, commit: String, lang: String, content: String,
     lang_pred: String, lang_margin: Double, ppl: Double)
 
-/** Output bundle: labeled rows, rule-hit metrics, per-partition lineage. */
-case class QualityResult(labeled: DataFrame, metrics: DataFrame, lineage: DataFrame)
+/** Output bundle: labeled rows (full, lazy — includes content/scrubbed),
+  * a cached slim projection (no content/scrubbed; the write/metrics
+  * source), rule-hit metrics, per-partition lineage.
+  */
+case class QualityResult(labeled: DataFrame, slim: DataFrame, metrics: DataFrame, lineage: DataFrame)
 
 /** The flagship quality-filter pipeline (BASELINE.json north rule): langid +
   * perplexity + heuristic rules + statistical fences + PII scrub over the
@@ -102,13 +105,18 @@ object QualityFilter {
   def run(corpus: Dataset[SourceFile], cfg: Config = Config()): QualityResult = {
     val spark = corpus.sparkSession
     val input = if (cfg.cache) corpus.persist(StorageLevel.MEMORY_AND_DISK) else corpus
-    val langModel = spark.sparkContext.broadcast(LangId.train(input))
-    val pplModel = spark.sparkContext.broadcast(Perplexity.train(input))
+    // fused single-pass training of both broadcast models (one job)
+    val trained = graft.lm.Models.train(input)
+    val langModel = spark.sparkContext.broadcast(trained.langId)
+    val pplModel = spark.sparkContext.broadcast(trained.ppl)
     val scored = score(input, langModel, pplModel)
     val withM = TextMetrics.withMetrics(scored.toDF())
-    val cachedM = if (cfg.cache) withM.persist(StorageLevel.MEMORY_AND_DISK) else withM
-    val stats = langStats(cachedM)
-    val joined = cachedM.join(broadcast(stats), Seq("lang"), "left")
+    // cache ONLY the tiny stats projection — caching the content-bearing
+    // intermediate costs more in serialization than recomputing one pass
+    val statsProj = withM.select(col("lang"), col("ppl"), col("n_chars"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val stats = langStats(statsProj)
+    val joined = withM.join(broadcast(stats), Seq("lang"), "left")
 
     val reasons = reasonExprs(cfg)
     val reasonArr = filter(
@@ -121,26 +129,40 @@ object QualityFilter {
       .withColumn("scrubbed", Scrub.scrub(col("content")))
       .withColumn("scrubbed_sha256", Scrub.sha256Hex(col("scrubbed")))
 
+    // the slim projection is the single materialization point: metrics,
+    // lineage, and the output write all read this cache instead of
+    // re-evaluating score+scrub+sha per action
+    val slim = labeled.drop("content", "scrubbed").persist(StorageLevel.MEMORY_AND_DISK)
+
     // rule-hit metrics per lang: (lang, metric, n)
-    val totals = labeled.groupBy(col("lang")).agg(
+    val totals = slim.groupBy(col("lang")).agg(
       count(lit(1)).as("files"),
       sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
     val metrics = totals.select(col("lang"), lit("files").as("metric"), col("files").as("n"))
       .unionByName(totals.select(col("lang"), lit("kept").as("metric"), col("kept").as("n")))
       .unionByName(
-        labeled.select(col("lang"), explode(col("drop_reasons")).as("reason"))
+        slim.select(col("lang"), explode(col("drop_reasons")).as("reason"))
           .groupBy(col("lang"), col("reason"))
           .agg(count(lit(1)).as("n"))
           .select(col("lang"), concat(lit("reason:"), col("reason")).as("metric"), col("n")))
 
     // per-partition lineage: repo-hash buckets (the Iceberg partition analogue)
-    val lineage = labeled
+    val lineage = slim
       .withColumn("bucket", pmod(xxhash64(col("repo")), lit(64)))
       .groupBy(col("bucket")).agg(
         count(lit(1)).as("n_files"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
         countDistinct(col("repo")).as("n_repos"))
 
-    QualityResult(labeled, metrics, lineage)
+    QualityResult(labeled, slim, metrics, lineage)
   }
+
+  /** Salted size-balanced output write (north rule: repartitionByRange on
+    * repo/path). Call with `result.slim` — the cached projection — so the
+    * range sampler's extra pass reads the cache instead of re-running
+    * scrub+sha on the full content.
+    */
+  def writeLabeled(slim: DataFrame, path: String, parts: Int = 32): Unit =
+    slim.repartitionByRange(parts, col("repo"), col("path"))
+      .write.mode("overwrite").parquet(path)
 }

@@ -1,0 +1,21 @@
+package graft.tools
+
+import graft.core.GraftSession
+import graft.SparkEntry
+
+/** Dev tool: dump formatted physical plans for queries to verify pushdown,
+  * broadcast choices, and codegen coverage (the SURVEY.md §4 checklist).
+  */
+object Plans {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val spark = GraftSession.local(4, "plans")
+    names.foreach { n =>
+      println(s"\n================= $n =================")
+      try SparkEntry.queries(n)(spark, dir).explain("formatted")
+      catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,58 @@
+package graft.tools
+
+import graft.core.{Corpus, GraftSession, SourceFile}
+import graft.functions.TextMetrics
+import graft.lm.{LangId, Perplexity}
+import graft.pipeline.QualityFilter
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Dev-only stage profiler for the quality-filter pipeline. */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(20000L)
+    val cores = args.lift(1).map(_.toInt).getOrElse(8)
+    val spark = GraftSession.local(cores, "profile")
+    import spark.implicits._
+
+    def t[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    val corpus = Corpus.generate(spark, n, 42L, 64).persist(StorageLevel.MEMORY_AND_DISK)
+    t("materialize corpus")(corpus.count())
+    // second pass to measure cached read cost
+    t("cached pass (count)")(corpus.count())
+    val langModel = t("langid train")(LangId.train(corpus))
+    val pplModel = t("ppl train")(Perplexity.train(corpus))
+    val bcL = spark.sparkContext.broadcast(langModel)
+    val bcP = spark.sparkContext.broadcast(pplModel)
+    val scored = QualityFilter.score(corpus, bcL, bcP)
+    t("score (count)")(scored.count())
+    val withM = TextMetrics.withMetrics(scored.toDF()).persist(StorageLevel.MEMORY_AND_DISK)
+    t("score+metrics (count)")(withM.count())
+    t("lang stats agg")(QualityFilter.langStats(withM).collect())
+    val joined = withM.join(broadcast(QualityFilter.langStats(withM)), Seq("lang"), "left")
+    val cfg = QualityFilter.Config()
+    val reasons = QualityFilter.reasonExprs(cfg)
+    val arr = filter(array(reasons.map { case (nm, c) => when(c, lit(nm)) }: _*), x => x.isNotNull)
+    val labeled = joined.withColumn("drop_reasons", arr)
+      .withColumn("keep", size(col("drop_reasons")) === 0)
+      .withColumn("content_sha256", graft.scrub.Scrub.sha256Hex(col("content")))
+      .withColumn("scrubbed", graft.scrub.Scrub.scrub(col("content")))
+      .withColumn("scrubbed_sha256", graft.scrub.Scrub.sha256Hex(col("scrubbed")))
+    t("label+scrub+sha (count)")(labeled.count())
+    val out = java.nio.file.Files.createTempDirectory("prof-out-").toString
+    t("write output")(labeled.drop("content", "scrubbed")
+      .repartitionByRange(32, col("repo"), col("path"))
+      .write.mode("overwrite").parquet(out))
+    t("full pipeline (fresh)") {
+      val res = QualityFilter.run(Corpus.generate(spark, n, 42L, 64))
+      res.labeled.drop("content", "scrubbed").write.mode("overwrite").parquet(out + "2")
+    }
+    spark.stop()
+  }
+}

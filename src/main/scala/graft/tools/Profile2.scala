@@ -1,0 +1,40 @@
+package graft.tools
+
+import graft.core.{Corpus, GraftSession}
+import graft.functions.TextMetrics
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+object Profile2 {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(20000L)
+    val spark = GraftSession.local(8, "profile2")
+    import spark.implicits._
+    def t[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[p2] $name%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val corpus = Corpus.generate(spark, n, 42L, 64).toDF().persist(StorageLevel.MEMORY_AND_DISK)
+    t("materialize")(corpus.count())
+    t("plain agg on cache")(corpus.agg(count(lit(1))).collect())
+    t("length only")(corpus.select(length(col("content")).as("l")).agg(sum("l")).collect())
+    t("split lines + max")(corpus.select(array_max(transform(split(col("content"), "\n", -1), l => length(l))).as("m")).agg(sum("m")).collect())
+    t("regexp alnum")(corpus.select(length(regexp_replace(col("content"), "[^A-Za-z0-9]", "")).as("a")).agg(sum("a")).collect())
+    t("regexp nonspace")(corpus.select(length(regexp_replace(col("content"), "\\s", "")).as("a")).agg(sum("a")).collect())
+    t("words filter split")(corpus.select(size(filter(split(col("content"), "\\s+", -1), w => length(w) > 0)).as("a")).agg(sum("a")).collect())
+    t("rlike badchars")(corpus.select(col("content").rlike(TextMetrics.BadCharPattern).cast("int").as("a")).agg(sum("a")).collect())
+    t("array_distinct lines")(corpus.select(size(array_distinct(split(col("content"), "\n", -1))).as("a")).agg(sum("a")).collect())
+    t("full metrics")(TextMetrics.withMetrics(corpus).agg(sum("n_words")).collect())
+    val withM = TextMetrics.withMetrics(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    t("cache metrics")(withM.count())
+    t("stats agg on cached metrics")(
+      withM.groupBy("lang").agg(
+        percentile(col("n_chars"), lit(0.25)).as("q1"),
+        percentile(col("n_chars"), lit(0.75)).as("q3")).collect())
+    t("sha256")(corpus.select(sha2(col("content"), 256).as("h")).agg(count(lit(1))).collect())
+    t("scrub chain")(corpus.select(length(graft.scrub.Scrub.scrub(col("content"))).as("l")).agg(sum("l")).collect())
+    spark.stop()
+  }
+}

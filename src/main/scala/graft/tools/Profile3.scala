@@ -1,0 +1,43 @@
+package graft.tools
+
+import graft.core.{Corpus, GraftSession}
+import graft.lm.{LangId, Perplexity}
+import org.apache.spark.storage.StorageLevel
+
+object Profile3 {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(20000)
+    def t[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[p3] $name%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    // pure driver-side costs first (no Spark)
+    val files = t("gen sequential")((0 until n).map(i => Corpus.genRow(42L, i)))
+    t("docBuckets all (driver)")(files.foreach(f => LangId.docBuckets(f.content)))
+    t("ppl tokenize+count (driver)") {
+      files.foreach { f =>
+        val ts = Perplexity.tokens(f.content)
+        var i = 1
+        var acc = 0L
+        while (i < ts.length) { acc += Perplexity.uniBucket(ts(i)); i += 1 }
+        acc
+      }
+    }
+    val spark = GraftSession.local(8, "profile3")
+    val corpus = Corpus.generate(spark, n, 42L, 64).persist(StorageLevel.MEMORY_AND_DISK)
+    t("materialize")(corpus.count())
+    val lm = t("langid train (spark)")(LangId.train(corpus))
+    val pm = t("ppl train (spark)")(Perplexity.train(corpus))
+    t("ppl train again")(Perplexity.train(corpus))
+    t("predict all (driver)")(files.foreach(f => lm.predict(f.content)))
+    t("ppl score all (driver)")(files.foreach(f => pm.perplexity(f.content)))
+    val bcL = spark.sparkContext.broadcast(lm)
+    val bcP = spark.sparkContext.broadcast(pm)
+    val scored = graft.pipeline.QualityFilter.score(corpus, bcL, bcP)
+    t("score spark pass1")(scored.count())
+    t("score spark pass2")(scored.count())
+    spark.stop()
+  }
+}

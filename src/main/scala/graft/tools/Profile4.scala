@@ -1,0 +1,75 @@
+package graft.tools
+
+import graft.core.{Corpus, GraftSession, SourceFile}
+import graft.pipeline.QualityFilter
+import java.nio.file.Files
+
+/** Mirrors Bench.runPipeline exactly, with stage timing. */
+object Profile4 {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(240000L)
+    val cores = args.lift(1).map(_.toInt).getOrElse(32)
+    val work = Files.createTempDirectory("graft-p4-").toString
+    val spark = GraftSession.local(cores, "profile4")
+    import spark.implicits._
+    def t[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[p4] $name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    Corpus.generate(spark, n, 42L, 128).toDF().write.parquet(s"$work/corpus")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (1024 * 1024).toString)
+    spark.conf.set("spark.sql.files.openCostInBytes", (256 * 1024).toString)
+    // warmup
+    t("warm (full run small)") {
+      val c = spark.read.parquet(s"$work/corpus").limit(20000).as[SourceFile]
+      val r = QualityFilter.run(c, QualityFilter.Config(cache = false))
+      QualityFilter.writeLabeled(r.slim, s"$work/warm")
+      r.slim.unpersist()
+    }
+    (1 to 2).foreach { rnd =>
+      val corpus = spark.read.parquet(s"$work/corpus").as[SourceFile]
+      val trained = t(s"r$rnd train")(graft.lm.Models.train(corpus))
+      val bcL = spark.sparkContext.broadcast(trained.langId)
+      val bcP = spark.sparkContext.broadcast(trained.ppl)
+      val scored = QualityFilter.score(corpus, bcL, bcP)
+      val withM = graft.functions.TextMetrics.withMetrics(scored.toDF())
+      val statsProj = t(s"r$rnd stats cache") {
+        val p = withM.select("lang", "ppl", "n_chars")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count(); p
+      }
+      val stats = t(s"r$rnd stats agg") {
+        val s = QualityFilter.langStats(statsProj); s.collect(); s
+      }
+      import org.apache.spark.sql.functions._
+      val joined = withM.join(broadcast(stats), Seq("lang"), "left")
+      val reasons = QualityFilter.reasonExprs(QualityFilter.Config())
+      val arr = filter(array(reasons.map { case (nm, c) => when(c, lit(nm)) }: _*), x => x.isNotNull)
+      val labeled = joined.withColumn("drop_reasons", arr)
+        .withColumn("keep", size(col("drop_reasons")) === 0)
+        .withColumn("content_sha256", graft.scrub.Scrub.sha256Hex(col("content")))
+        .withColumn("scrubbed", graft.scrub.Scrub.scrub(col("content")))
+        .withColumn("scrubbed_sha256", graft.scrub.Scrub.sha256Hex(col("scrubbed")))
+      val slim = labeled.drop("content", "scrubbed")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t(s"r$rnd slim materialize")(slim.count())
+      t(s"r$rnd range write")(
+        QualityFilter.writeLabeled(slim, s"$work/out$rnd"))
+      t(s"r$rnd metrics agg+write") {
+        // replicate run()'s metrics unions from slim
+        val totals = slim.groupBy(col("lang")).agg(
+          count(lit(1)).as("files"), sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
+        val m = totals.select(col("lang"), lit("files").as("metric"), col("files").as("n"))
+          .unionByName(totals.select(col("lang"), lit("kept").as("metric"), col("kept").as("n")))
+          .unionByName(slim.select(col("lang"), explode(col("drop_reasons")).as("reason"))
+            .groupBy(col("lang"), col("reason")).agg(count(lit(1)).as("n"))
+            .select(col("lang"), concat(lit("reason:"), col("reason")).as("metric"), col("n")))
+        m.write.mode("overwrite").parquet(s"$work/met$rnd")
+      }
+      slim.unpersist(); statsProj.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 made the Column ↔ catalyst Expression bridge private[sql]; this
+  * subpackage shim re-exposes exactly the two conversions the engine needs
+  * for its native expressions (public-pattern precedent: SNIPPETS.md [2],
+  * [3] — DatasetFactory/ColumnDataset shims in org.apache.spark.sql).
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

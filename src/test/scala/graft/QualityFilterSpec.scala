@@ -88,6 +88,26 @@ class QualityFilterSpec extends AnyFunSuite {
     }
   }
 
+  test("native TextStats expression equals the regex/builtin formulation exactly") {
+    import graft.functions.TextMetrics
+    val df = corpus.toDF()
+    val cols = Seq("n_chars", "n_lines", "max_line_len", "avg_line_len", "alnum_ratio",
+      "dup_line_ratio", "n_words", "mean_word_len", "has_bad_chars")
+    val a = TextMetrics.withMetrics(df).select("path", cols: _*)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val b = TextMetrics.withMetricsRegex(df).select("path", cols: _*)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(a.size == b.size)
+    a.foreach { case (k, v) => assert(v == b(k), s"metrics diverge at $k: $v vs ${b(k)}") }
+  }
+
+  test("langid is accurate on the synthetic corpus (labels are 97% true)") {
+    val rows = result.labeled.select("lang", "lang_pred").collect()
+    val acc = rows.count(r => r.getString(0) == r.getString(1)).toDouble / rows.length
+    info(s"langid agreement with labels: $acc")
+    assert(acc >= 0.85, s"langid accuracy collapsed: $acc")
+  }
+
   test("Spark exact percentile matches oracle interpolation formula bit-for-bit") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

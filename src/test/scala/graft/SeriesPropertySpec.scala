@@ -1,0 +1,158 @@
+package graft
+
+import graft.core.GraftSession
+import graft.operators.Series
+import graft.oracle.SeqOracle
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY.md §5.1 differential testing: the Series window operators vs
+  * plain sequential implementations of the reference semantics, over
+  * generated series with gaps, zeros, negatives, and ragged groups.
+  * (scalatestplus is not in the offline cache, so sampling is driven by a
+  * deterministic manual loop over ScalaCheck Gen.)
+  */
+class SeriesPropertySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4, "series-prop")
+
+  /** Deterministic forAll replacement: 20 seeded samples per property. */
+  private def forAll[T](gen: Gen[T])(body: T => Unit): Unit =
+    (0 until 20).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(1000L + i)).foreach { sample =>
+        try body(sample)
+        catch {
+          case e: Throwable =>
+            info(s"failing sample (seed ${1000 + i}): $sample")
+            throw e
+        }
+      }
+    }
+
+  private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
+  // (group, order, value) with unique (group, order); values are small
+  // integers (as doubles) so decimal casts are exact and the sequential
+  // sigma math matches the engine bit-for-bit.
+  private val seriesGen: Gen[List[(String, Int, Double)]] = for {
+    nGroups <- Gen.choose(1, 3)
+    rows <- Gen.listOfN(nGroups, for {
+      g <- Gen.identifier.map(_.take(4))
+      n <- Gen.choose(0, 8)
+      orders <- Gen.pick(n, 0 until 40)
+      vals <- Gen.listOfN(n, Gen.choose(-5, 5).map(_.toDouble))
+    } yield orders.toList.sorted.zip(vals).map { case (o, v) => (g, o, v) })
+  } yield rows.flatten
+
+  private def toDf(rows: List[(String, Int, Double)]) = {
+    import spark.implicits._
+    rows.toDF("g", "o", "v")
+  }
+
+  private def sameDouble(a: Double, b: Double): Boolean =
+    (a.isNaN && b.isNaN) || a == b
+
+  test("W1 growth rate matches sequential reference semantics") {
+    forAll(seriesGen) { rows =>
+      val got = Series.growthRate(toDf(rows), Seq("g"), "o", "v", "gr")
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getAs[Double]("gr")).toMap
+      // engine spec: div-by-zero → null → row dropped (permissive mode)
+      val exp = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        val s = rs.sortBy(_._2)
+        s.zip(s.drop(1)).collect { case ((_, o, v), (_, _, v2)) if v != 0 =>
+          (g, o) -> ((v2 - v) / v * 100)
+        }
+      }.toMap
+      assert(got.keySet == exp.keySet)
+      exp.foreach { case (k, v) => assert(sameDouble(got(k), v), s"$k: ${got(k)} vs $v") }
+    }
+  }
+
+  test("W2 sign-flipped ROC matches sequential reference semantics") {
+    forAll(seriesGen) { rows =>
+      val got = Series.rateOfChange(toDf(rows), Seq("g"), "o", "v", "roc")
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getAs[Double]("roc")).toMap
+      val exp = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        val s = rs.sortBy(_._2)
+        s.zip(s.drop(1)).collect { case ((_, o, v), (_, o2, v2)) if v2 != 0 =>
+          (g, o) -> ((v2 - v) / v2 * 100 / (o - o2))
+        }
+      }.toMap
+      assert(got.keySet == exp.keySet)
+      exp.foreach { case (k, v) => assert(sameDouble(got(k), v), s"$k: ${got(k)} vs $v") }
+    }
+  }
+
+  test("W3 bucket pct change zero-guards match") {
+    forAll(seriesGen) { rows =>
+      val got = Series.bucketPctChange(toDf(rows), Seq("g"), "o", "v", "pct")
+        .collect().map(r => (r.getString(0), r.getInt(1)) ->
+          (if (r.isNullAt(r.fieldIndex("pct"))) None else Some(r.getDouble(r.fieldIndex("pct"))))).toMap
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val s = rs.sortBy(_._2)
+        s.zipWithIndex.foreach { case ((_, o, v), i) =>
+          val exp = if (i == 0) None
+          else {
+            val prev = s(i - 1)._3
+            Some(if (prev == 0 || v == 0) 0.0 else (v - prev) / prev * 100)
+          }
+          val g2 = got((g, o))
+          (exp, g2) match {
+            case (None, None) => ()
+            case (Some(a), Some(b)) => assert(sameDouble(a, b), s"($g,$o): $b vs $a")
+            case _ => fail(s"($g,$o): null mismatch $exp vs $g2")
+          }
+        }
+      }
+    }
+  }
+
+  test("W6 uncentered 3-sigma flags match (integer values => exact sigma)") {
+    forAll(seriesGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val got = Series.threeSigma(toDf(rows), Seq("g"), "v", 1.0) // k=1 to get flags
+          .collect().map(r => (r.getString(r.fieldIndex("g")), r.getInt(r.fieldIndex("o")))).toSet
+        val exp = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+          val n = rs.size.toDouble
+          val s = rs.map(_._3).sum
+          val sq = rs.map(x => x._3 * x._3).sum
+          val sigma = math.sqrt(sq / n - (s / n) * (s / n))
+          rs.filter(r => r._3 > sigma || r._3 < -sigma).map(r => (r._1, r._2))
+        }.toSet
+        assert(got == exp)
+      }
+    }
+  }
+
+  test("W7 IQR fence flags match the shared percentile formula") {
+    forAll(seriesGen) { rows =>
+      whenever(rows.nonEmpty) {
+        val got = Series.iqrOutliers(toDf(rows), Seq("g"), "v", 1.5)
+          .collect().map(r => (r.getString(r.fieldIndex("g")), r.getInt(r.fieldIndex("o")))).toSet
+        val exp = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+          val sorted = rs.map(_._3).toArray.sorted
+          val q1 = SeqOracle.percentileExact(sorted, 0.25)
+          val q3 = SeqOracle.percentileExact(sorted, 0.75)
+          val lo = q1 - (q3 - q1) * 1.5
+          val hi = q3 + (q3 - q1) * 1.5
+          rs.filter(r => r._3 < lo || r._3 > hi).map(r => (r._1, r._2))
+        }.toSet
+        assert(got == exp)
+      }
+    }
+  }
+
+  test("W9 missing points match") {
+    forAll(seriesGen) { rows =>
+      val got = Series.missingPoints(toDf(rows), Seq("g"), "o")
+        .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      val exp = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        val os = rs.map(_._2).toSet
+        if (os.isEmpty) Set.empty[(String, Int)]
+        else (os.min to os.max).filterNot(os).map(o => (g, o))
+      }.toSet
+      assert(got == exp)
+    }
+  }
+}
