@@ -73,11 +73,14 @@ object Series {
           (col(value) > col("prev_value") * 1.1 || col(value) < col("prev_value") * 0.9))
   }
 
-  /** W5 external consistency: at equal bucket, flag ordered source pairs
-    * where A is outside B ± 10%·B (outlierFinders.py:85-128). Pivot-free
-    * formulation: self-equi-join on (group, bucket) with src_a < src_b —
-    * at scale both sides shuffle once on the same key (co-partitioned
-    * sort-merge join), no driver work.
+  /** W5 external consistency: at equal bucket, for each unordered source
+    * pair {A,B} the reference checks A against B's ±10% band AND B against
+    * A's (outlierFinders.py:96-120 iterates the 6 pairs in both roles) —
+    * both directions are emitted here as `a_out_of_b` / `b_out_of_a`, with
+    * `inconsistent` as their disjunction. Pivot-free formulation:
+    * self-equi-join on (group, bucket) with src_a < src_b — at scale both
+    * sides shuffle once on the same key (co-partitioned sort-merge join),
+    * no driver work.
     */
   def externalConsistency(df: DataFrame, group: Seq[String], bucket: String,
       source: String, value: String): DataFrame = {
@@ -85,8 +88,11 @@ object Series {
     val b = df.select((group :+ bucket).map(col) :+ col(source).as("src_b") :+ col(value).as("val_b"): _*)
     a.join(b, group :+ bucket)
       .filter(col("src_a") < col("src_b"))
-      .withColumn("inconsistent",
+      .withColumn("a_out_of_b",
         col("val_a") > col("val_b") * 1.1 || col("val_a") < col("val_b") * 0.9)
+      .withColumn("b_out_of_a",
+        col("val_b") > col("val_a") * 1.1 || col("val_b") < col("val_a") * 0.9)
+      .withColumn("inconsistent", col("a_out_of_b") || col("b_out_of_a"))
   }
 
   /** W6 uncentered 3-sigma rule: per-group POPULATION sigma of `value`

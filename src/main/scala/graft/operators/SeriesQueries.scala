@@ -209,6 +209,7 @@ object SeriesSql {
       |  ROUND(a.avg_chars, 6) AS val_a, ROUND(b.avg_chars, 6) AS val_b
       |FROM avgs a JOIN avgs b ON a.lang = b.lang AND a.source < b.source
       |WHERE a.avg_chars > b.avg_chars * 1.1 OR a.avg_chars < b.avg_chars * 0.9
+      |   OR b.avg_chars > a.avg_chars * 1.1 OR b.avg_chars < a.avg_chars * 0.9
       |ORDER BY a.lang, src_a, src_b""".stripMargin
 
   val q15MissingMonths: String =

@@ -143,6 +143,45 @@ class SeriesPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("W4 internal drift band (as-written, inverted for negatives) matches") {
+    forAll(seriesGen) { rows =>
+      val got = Series.internalDrift(toDf(rows), Seq("g"), "o", "v", "drift")
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getAs[Boolean]("drift")).toMap
+      rows.groupBy(_._1).toSeq.foreach { case (g, rs) =>
+        val s = rs.sortBy(_._2)
+        s.zipWithIndex.foreach { case ((_, o, v), i) =>
+          val exp = if (i == 0) false
+          else {
+            val prev = s(i - 1)._3
+            v > prev * 1.1 || v < prev * 0.9
+          }
+          assert(got((g, o)) == exp, s"($g,$o)")
+        }
+      }
+    }
+  }
+
+  test("W5 external consistency checks both band directions per pair") {
+    import spark.implicits._
+    val df = Seq(
+      ("y1", "A", 100.0), ("y1", "B", 104.0), ("y1", "C", 200.0),
+      ("y2", "A", -10.0), ("y2", "B", -10.5)
+    ).toDF("bk", "src", "v")
+    val got = Series.externalConsistency(df, Seq.empty, "bk", "src", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(3)) ->
+        ((r.getAs[Boolean]("a_out_of_b"), r.getAs[Boolean]("b_out_of_a"), r.getAs[Boolean]("inconsistent"))))
+      .toMap
+    // A=100 vs B=104: inside each other's bands both ways
+    assert(got(("y1", "A", "B")) == ((false, false, false)))
+    // A=100 vs C=200: far outside both ways
+    assert(got(("y1", "A", "C")) == ((true, true, true)))
+    // negative values: band as written is inverted (upper=prev*1.1 < prev),
+    // so -10 vs -10.5 lands outside — quirk preserved from the reference
+    assert(got(("y2", "A", "B"))._3)
+    assert(got.size == 4) // 3 pairs in y1 + 1 pair in y2
+  }
+
   test("W9 missing points match") {
     forAll(seriesGen) { rows =>
       val got = Series.missingPoints(toDf(rows), Seq("g"), "o")
