@@ -22,8 +22,15 @@ object Ann {
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  def cosine(a: Column, b: Column): Column =
+  /** Higher-order-function cosine: the spec twin of the native expression
+    * (kept for differential testing; do not use in the hot path).
+    */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Native single-loop cosine (bit-identical to [[cosineHof]]). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim.col(a, b)
 
   /** Brute-force top-k: queries must be small (broadcast). */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame,

@@ -75,18 +75,16 @@ object Dedup {
   }
 
   /** (id, sig: array<long>[K]) — one base xxhash64 per shingle reduced to
-    * the 31-bit domain, K affine transforms, array_min each: K·|shingles|
-    * work per row, all inside codegen'd expressions.
+    * the 31-bit domain, then all K affine minhashes in ONE native-expression
+    * pass ([[graft.functions.MinHashSig]]).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
       .groupBy(col(idCol))
       .agg(collect_list(pmod(xxhash64(col("shingle")), lit(MinHashPrime))).as("hs"))
-    val sigCols = (0 until MinHashK).map { i =>
-      array_min(transform(col("hs"), h => pmod(h * coefA(i) + coefB(i), lit(MinHashPrime))))
-    }
-    sh.select(col(idCol), array(sigCols: _*).as("sig"))
+    sh.select(col(idCol),
+      graft.functions.MinHashSig.col(col("hs"), coefA.toSeq, coefB.toSeq, MinHashPrime).as("sig"))
   }
 
   /** LSH candidate pairs: equal band-signature in any band, then exact

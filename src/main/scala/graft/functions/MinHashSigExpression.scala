@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** K minhash values over an array of pre-hashed shingles in one pass.
+  *
+  * Replaces K separate `array_min(transform(...))` higher-order traversals
+  * with a single loop applying all K affine transforms per element.
+  * Integer math — values identical to the HOF formulation.
+  */
+case class MinHashSig(child: Expression, coefA: Seq[Long], coefB: Seq[Long], prime: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+
+  private lazy val as = coefA.toArray
+  private lazy val bs = coefB.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val k = as.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (h * as(j) + bs(j)) % prime
+        val vv = if (v < 0) v + prime else v
+        if (vv < mins(j)) mins(j) = vv
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+object MinHashSig {
+  def col(c: Column, coefA: Seq[Long], coefB: Seq[Long], prime: Long): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(c), coefA, coefB, prime))
+  }
+}

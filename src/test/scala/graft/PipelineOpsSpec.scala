@@ -64,6 +64,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("native CosineSim expression is bit-identical to the HOF formulation") {
+    val e = Tables.embeddings(spark, dir).limit(200)
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+    val pairs = a.crossJoin(b).filter(col("a_id") < col("b_id")).limit(5000)
+    val diff = pairs
+      .withColumn("s1", Ann.cosine(col("va"), col("vb")))
+      .withColumn("s2", Ann.cosineHof(col("va"), col("vb")))
+      .filter(col("s1") =!= col("s2"))
+      .count()
+    assert(diff == 0, s"$diff pairs differ between native and HOF cosine")
+  }
+
   test("fingerprints: deterministic, discriminative on distinct texts, fuzzy on near-dups") {
     val rnd = new scala.util.Random(11)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "zeta", "omega", "kappa", "sigma")
