@@ -1,0 +1,10 @@
+package graft.tools
+import graft.core.GraftSession
+object EntrySmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local(4, "entry-smoke")
+    val n = graft.SparkEntry.entry(spark).count()
+    println(s"[entry-smoke] rows=$n")
+    spark.stop()
+  }
+}
