@@ -58,6 +58,45 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("j"))
   }
 
+  /** EXACT set-similarity join via prefix filtering (PPJoin-style): for
+    * Jaccard ≥ t, any qualifying pair must share at least one shingle
+    * within each side's prefix of length |s| − ⌈t·|s|⌉ + 1 under a GLOBAL
+    * total order (rarest-first). Only prefix shingles enter the pair join,
+    * shrinking its volume by ~(1−t) per side (≈ 25× fewer join rows at
+    * t = 0.8) while returning exactly the same pairs as [[jaccardPairs]]
+    * (candidates are then verified with exact Jaccard). One extra +1 slack
+    * on the prefix length absorbs double rounding in (1−t)·|s|.
+    *
+    * This is the scale path: brute shingle joins explode quadratically on
+    * frequent shingles; prefix filtering bounds the join to rare shingles.
+    */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingles(df, idCol, textCol, n, blockCols)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("shf"))
+    val ranked = sh.join(freq, "shingle")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("shf").asc, col("shingle").asc)))
+      .join(sizes, idCol)
+      .filter(col("rk") <= floor(lit(1.0 - threshold) * col("n_sh")) + 2)
+    val a = ranked.select(blockCols.map(col) :+ col(idCol).as("a_id") :+ col("shingle"): _*)
+    val b = ranked.select(blockCols.map(col) :+ col(idCol).as("b_id") :+ col("shingle"): _*)
+    val cands = a.join(b, blockCols :+ "shingle")
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val sets = sh.groupBy(col(idCol)).agg(collect_set(col("shingle")).as("ss"))
+    cands
+      .join(sets.select(col(idCol).as("a_id"), col("ss").as("sa")), "a_id")
+      .join(sets.select(col(idCol).as("b_id"), col("ss").as("sb")), "b_id")
+      .withColumn("j", round(
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))), 6))
+      .filter(col("j") >= threshold)
+      .select(col("a_id"), col("b_id"), col("j"))
+  }
+
   // ---- MinHash + LSH ----------------------------------------------------
 
   val MinHashK = 16

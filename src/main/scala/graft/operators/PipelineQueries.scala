@@ -32,9 +32,12 @@ object PipelineQueries {
     Dedup.simhashes(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
-  /** Exact word-3-gram Jaccard near-dup pairs, blocked by lang. */
+  /** Exact word-3-gram Jaccard near-dup pairs, blocked by lang — computed
+    * with the prefix-filtered similarity join (identical result to the
+    * naive shingle join the DuckDB oracle runs, far less join volume).
+    */
   def q23NgramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+    Dedup.jaccardPairsPrefix(Tables.documents(s, dir), "doc_id", "text",
       blockCols = Seq("lang"), n = 3, threshold = 0.8)
       .orderBy("a_id", "b_id")
 

@@ -28,13 +28,39 @@ object Scrub {
     ("secret", "(?i)\\b(api[_-]?key|secret|token|password)(\\s*[:=]\\s*)\\S+", "$1$2<SECRET>")
   )
 
-  /** Column-expression form: one projection, fixed order. */
-  def scrub(c: Column): Column =
+  /** Cheap literal pre-conditions per rule: the regex cannot match unless
+    * the literal occurs in the ORIGINAL text (no replacement token ever
+    * introduces them), so an indexOf check skips the full regex pass on
+    * most rows. Applied inside the native expression / scrubString — never
+    * as nested `when` columns (that duplicates the accumulated expression
+    * tree exponentially).
+    */
+  val guards: Map[String, String] = Map("email" -> "@", "aws_key" -> "AKIA")
+
+  /** Column form: ONE native expression evaluating the whole ordered chain
+    * per row (single UTF8String↔String conversion, compiled patterns,
+    * literal guards) — byte-identical to [[scrubString]] by construction.
+    */
+  def scrub(c: Column): Column = graft.scrub.ScrubExpr.col(c)
+
+  /** Builtin-functions twin of the chain (differential tests only). */
+  def scrubChainColumn(c: Column): Column =
     rules.foldLeft(c) { case (acc, (_, pat, rep)) => regexp_replace(acc, pat, rep) }
 
-  /** Sequential form for the oracle — must stay semantically identical. */
-  def scrubString(s: String): String =
-    rules.foldLeft(s) { case (acc, (_, pat, rep)) => acc.replaceAll(pat, rep) }
+  /** Sequential form — the single implementation the oracle AND the native
+    * expression share. Guards check the original text (see [[guards]]).
+    */
+  def scrubString(s: String): String = {
+    var acc = s
+    rules.foreach { case (name, pat, rep) =>
+      val skip = guards.get(name).exists(lit0 => s.indexOf(lit0) < 0)
+      if (!skip) acc = compiledPatterns(name).matcher(acc).replaceAll(rep)
+    }
+    acc
+  }
+
+  private val compiledPatterns: Map[String, java.util.regex.Pattern] =
+    rules.map { case (name, pat, _) => name -> java.util.regex.Pattern.compile(pat) }.toMap
 
   /** Lowercase hex sha256 of the UTF-8 bytes — lineage invariant column. */
   def sha256Hex(c: Column): Column = sha2(c, 256)

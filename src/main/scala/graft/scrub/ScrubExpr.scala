@@ -1,0 +1,32 @@
+package graft.scrub
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native expression form of the ordered scrub chain: one
+  * UTF8String→String conversion per row, compiled patterns, literal
+  * indexOf guards — executes [[Scrub.scrubString]] verbatim, so engine and
+  * oracle share one implementation (byte-stability for free).
+  */
+case class ScrubExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override protected def withNewChildInternal(newChild: Expression): ScrubExpr =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(Scrub.scrubString(input.asInstanceOf[UTF8String].toString))
+}
+
+object ScrubExpr {
+  def col(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(ScrubExpr(ColumnBridge.expression(c)))
+  }
+}

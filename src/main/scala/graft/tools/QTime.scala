@@ -1,0 +1,16 @@
+package graft.tools
+import graft.core.GraftSession
+object QTime {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.local(32, "qtime")
+    args.drop(1).foreach { q =>
+      // warm then timed
+      graft.SparkEntry.queries(q)(spark, dir).count()
+      val t0 = System.nanoTime()
+      val n = graft.SparkEntry.queries(q)(spark, dir).count()
+      println(f"[qtime] $q rows=$n ${(System.nanoTime()-t0)/1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

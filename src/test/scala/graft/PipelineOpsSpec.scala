@@ -28,6 +28,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.8)
   }
 
+  test("prefix-filtered similarity join returns exactly the naive join's pairs") {
+    val docs = Tables.documents(spark, dir)
+    for (t <- Seq(0.5, 0.8, 0.9)) {
+      val naive = Dedup.jaccardPairs(docs, "doc_id", "text", Seq.empty, 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val prefix = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", Seq.empty, 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(prefix == naive, s"t=$t: prefix join diverges (naive=${naive.size}, prefix=${prefix.size})")
+    }
+  }
+
   test("simhash: identical texts collide, small edits stay within hamming 3") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val edit = "the quick brown fox jumps over the lazy cat again and again today"

@@ -60,6 +60,17 @@ class QualityFilterSpec extends AnyFunSuite {
     }
   }
 
+  test("native scrub expression equals the builtin regexp_replace chain byte-for-byte") {
+    import spark.implicits._
+    val df = (0L until 800L).map(i => Corpus.genRow(Seed + 1, i).content).toDF("content")
+    val diff = df
+      .withColumn("a", graft.scrub.Scrub.scrub(org.apache.spark.sql.functions.col("content")))
+      .withColumn("b", graft.scrub.Scrub.scrubChainColumn(org.apache.spark.sql.functions.col("content")))
+      .filter(org.apache.spark.sql.functions.col("a") =!= org.apache.spark.sql.functions.col("b"))
+      .count()
+    assert(diff == 0, s"$diff rows diverge between native scrub and regexp_replace chain")
+  }
+
   test("scrub is idempotent and removes PII patterns") {
     val texts = (0L until 500L).map(i => Corpus.genRow(Seed, i).content)
     texts.foreach { t =>
