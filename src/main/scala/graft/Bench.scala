@@ -71,30 +71,29 @@ object Bench {
       .write.mode("overwrite").parquet(s"$work/corpus")
     Corpus.generate(spark, nFiles / 6, 7L, 32).toDF()
       .write.mode("overwrite").parquet(s"$work/corpus_small")
-    // JIT warmup on the small corpus
-    runPipeline(spark, s"$work/corpus_small", s"$work/warm8")
-
-    // ---- throughput at local[2] (second N vs 4N pair: 2→8) ----
-    spark.stop()
-    spark = GraftSession.local(2, "graft-bench-2")
-    runPipeline(spark, s"$work/corpus_small", s"$work/warm2")
-    val sec2 = runPipeline(spark, s"$work/corpus", s"$work/out2")
+    // JIT warmup on the small corpus (same JVM serves all levels)
+    runPipeline(spark, s"$work/corpus_small", s"$work/warm0")
     spark.stop()
 
-    // ---- throughput at local[8]; best of 2 runs (noisy shared host) ----
-    spark = GraftSession.local(8, "graft-bench-8b")
-    runPipeline(spark, s"$work/corpus_small", s"$work/warm8b")
-    val sec8 = math.min(
-      runPipeline(spark, s"$work/corpus", s"$work/out8"),
-      runPipeline(spark, s"$work/corpus", s"$work/out8b"))
-    spark.stop()
-
-    // ---- throughput at local[32] (4N of the 8→32 pair) ----
-    spark = GraftSession.local(cpus.max(32), "graft-bench-32")
-    runPipeline(spark, s"$work/corpus_small", s"$work/warm32")
-    val sec32 = math.min(
-      runPipeline(spark, s"$work/corpus", s"$work/out32"),
-      runPipeline(spark, s"$work/corpus", s"$work/out32b"))
+    // Levels are INTERLEAVED across rounds and the best time per level is
+    // kept: the shared host has multi-minute load spikes, and two
+    // consecutive runs of one level can both land inside a spike —
+    // round-robin decorrelates noise from parallelism level.
+    val levels = Seq(2, 8, 32)
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "2").toInt
+    val best = scala.collection.mutable.Map[Int, Double]()
+    (1 to rounds).foreach { r =>
+      levels.foreach { lv =>
+        spark = GraftSession.local(lv, s"graft-bench-$lv-r$r")
+        runPipeline(spark, s"$work/corpus_small", s"$work/warm-$lv-$r")
+        val sec = runPipeline(spark, s"$work/corpus", s"$work/out-$lv-$r")
+        best(lv) = math.min(best.getOrElse(lv, Double.MaxValue), sec)
+        if (!(r == rounds && lv == levels.last)) spark.stop()
+      }
+    }
+    val sec2 = best(2)
+    val sec8 = best(8)
+    val sec32 = best(32)
 
     val tp2 = nFiles / sec2
     val tp8 = nFiles / sec8
