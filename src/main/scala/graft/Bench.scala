@@ -2,8 +2,7 @@ package graft
 
 import graft.core.{Corpus, GraftSession, SourceFile}
 import graft.pipeline.QualityFilter
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
 /** Benchmark main. Prints exactly ONE JSON line for the driver:
@@ -12,13 +11,25 @@ import java.nio.file.{Files, Paths}
   * Two phases:
   *  1. Quality-filter throughput (the BASELINE.json metric): end-to-end
   *     pipeline (model training + scoring + rules + scrub + salted
-  *     partitioned parquet write) over a deterministic synthetic corpus,
-  *     at local[8] and local[32] on the SAME input — the sandbox stand-in
-  *     for N vs 4N executors. Reports files/sec at both and the scaling
-  *     efficiency tp32 / (4 · tp8).
-  *  2. Headline operator queries at the given SF dir (seconds each).
+  *     partitioned parquet write) over a deterministic synthetic corpus at
+  *     local[2] / local[8] / local[32] on the SAME input — the sandbox
+  *     stand-in for N vs 4N executor counts. Levels are interleaved across
+  *     rounds; best AND median per level are reported.
+  *  2. Headline operator queries at the given SF dir, in a FRESH
+  *     default-conf session (no bench-only file-split settings), one warmup
+  *     run then one timed run per query.
   *
-  * Also rewrites the "Measured" section of /root/repo/BENCH.md.
+  * Every QF measurement carries its own host telemetry — loadavg
+  * before/after, CPU-steal fraction during the run (/proc/stat), and an
+  * instantaneous raw-CPU probe — because the sandbox is a shared
+  * Firecracker VM with bursty neighbor load: the artifact itself shows
+  * whether the host delivered parallelism during each window, instead of
+  * that evidence living only in prose. A dedicated multi-thread probe at
+  * the start and end records the host's own scaling ceiling (vCPU
+  * overcommit + steal + one memory bus bound the 8→32 pair well below 1.0
+  * even for embarrassingly parallel integer hashing).
+  *
+  * Also rewrites /root/repo/BENCH.md.
   */
 object Bench {
 
@@ -29,19 +40,64 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** One full pipeline run over parquet input; returns wall seconds.
+  // ---------------- host telemetry ----------------
+
+  private def loadavg1: Double =
+    try new String(Files.readAllBytes(Paths.get("/proc/loadavg")), "UTF-8")
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** (stealTicks, totalTicks) from the aggregate "cpu" line of /proc/stat. */
+  private def cpuTicks: (Long, Long) =
+    try {
+      val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+      (if (f.length > 7) f(7) else 0L, f.sum)
+    } catch { case _: Throwable => (0L, 0L) }
+
+  /** Raw-CPU probe: `threads` threads each run a fixed 64-bit-mix workload;
+    * returns mega-ops/sec. Pure register arithmetic (no memory traffic, no
+    * JVM coordination) — an upper bound on what the host gives a
+    * CPU-parallel job at this thread count, right now.
+    */
+  private def cpuProbe(threads: Int, itersPerThread: Long = 400_000_000L): Double = {
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val (_, sec) = timed {
+      val ts = (0 until threads).map { t =>
+        new Thread(() => {
+          var x = 0x9E3779B97F4A7C15L + t
+          var i = 0L
+          while (i < itersPerThread) {
+            x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+            i += 1
+          }
+          sink.addAndGet(x)
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+    }
+    threads * itersPerThread / sec / 1e6
+  }
+
+  /** One full pipeline run over parquet input; returns wall seconds plus
+    * (loadavg before, loadavg after, steal fraction during).
     *
     * Split sizing: the bench corpus is many ~0.5 MB parquet files; with the
     * 128 MB default maxPartitionBytes Spark bin-packs them into ~3 input
-    * partitions, capping every downstream stage at 3-way parallelism (the
-    * round-1 scaling bug). 1 MB splits give one partition per file — at
-    * cluster scale with normal-sized files the default is correct, so this
-    * stays a bench-session setting, not an engine default.
+    * partitions, capping every downstream stage at 3-way parallelism. 1 MB
+    * splits give one partition per file — at cluster scale with
+    * normal-sized files the default is correct, so the two confs are set
+    * for the run and RESTORED after (they must never leak into anything
+    * else timed on the session).
     */
-  private def runPipeline(spark: SparkSession, inPath: String, outPath: String): Double = {
+  private def runPipeline(spark: SparkSession, inPath: String, outPath: String): (Double, Double, Double, Double) = {
     import spark.implicits._
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
     spark.conf.set("spark.sql.files.maxPartitionBytes", (1024 * 1024).toString)
     spark.conf.set("spark.sql.files.openCostInBytes", (256 * 1024).toString)
+    val l0 = loadavg1
+    val (s0, t0) = cpuTicks
     val (_, sec) = timed {
       val corpus = spark.read.parquet(inPath).as[SourceFile]
       // cache=false: re-scanning the compressed parquet (3 passes) is
@@ -51,97 +107,155 @@ object Bench {
       res.metrics.write.mode("overwrite").parquet(outPath + "_metrics")
       res.slim.unpersist()
     }
-    sec
+    val (s1, t1) = cpuTicks
+    val l1 = loadavg1
+    spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+    spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
+    val steal = if (t1 > t0) (s1 - s0).toDouble / (t1 - t0) else 0.0
+    (sec, l0, l1, steal)
   }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) Double.NaN
+    else if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
+  case class Sample(level: Int, round: Int, sec: Double, load0: Double,
+                    load1: Double, steal: Double, probe32: Double)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // levels are FIXED at 2/8/32 (the JSON keys name them literally);
+    // SPARK_GRAFT_CPUS is intentionally not consulted here
+    val topLevel = 32
     // 150k files ≈ 220 MB text: big enough that per-run serial overhead
-    // (planning/codegen/commit, ~4-6 s) stops dominating the scaling ratio,
-    // small enough to keep the 3-level bench under ~5 minutes
+    // (planning/codegen/commit, ~2-4 s) stops dominating the scaling ratio,
+    // small enough to keep the 3-round bench reasonable
     val nFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "150000").toLong
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
     val work = Files.createTempDirectory("graft-bench-").toString
 
+    // host ceiling probe at the start: what does raw CPU scaling look like
+    // on this box right now, independent of Spark?
+    val probeStart = Map(2 -> cpuProbe(2), 8 -> cpuProbe(8), 32 -> cpuProbe(32))
+
     // ---- corpus materialization (excluded from timing) ----
-    var spark = GraftSession.local(8, "graft-bench-8")
+    var spark = GraftSession.local(topLevel, "graft-bench-gen")
     // 128 output files: parquet row groups are the split floor, so input
     // parallelism = file count; 128 gives 4 balanced waves at 32 threads
     Corpus.generate(spark, nFiles, 42L, 128).toDF()
       .write.mode("overwrite").parquet(s"$work/corpus")
     Corpus.generate(spark, nFiles / 6, 7L, 32).toDF()
       .write.mode("overwrite").parquet(s"$work/corpus_small")
-    // JIT warmup on the small corpus (same JVM serves all levels)
+    // JIT warmup on the small corpus (one JVM serves all levels, so Janino
+    // codegen caches and C2-compiled hot loops carry across sessions)
     runPipeline(spark, s"$work/corpus_small", s"$work/warm0")
     spark.stop()
 
-    // Levels are INTERLEAVED across rounds and the best time per level is
-    // kept: the shared host has multi-minute load spikes, and two
-    // consecutive runs of one level can both land inside a spike —
-    // round-robin decorrelates noise from parallelism level.
-    val levels = Seq(2, 8, 32)
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "2").toInt
-    val best = scala.collection.mutable.Map[Int, Double]()
+    // Levels are INTERLEAVED across rounds: the shared host has multi-minute
+    // load spikes, and consecutive runs of one level can all land inside a
+    // spike — round-robin decorrelates noise from parallelism level. Every
+    // sample keeps its telemetry so the artifact shows which windows were
+    // clean.
+    val levels = Seq(2, 8, topLevel).distinct
+    val samples = scala.collection.mutable.ArrayBuffer[Sample]()
     (1 to rounds).foreach { r =>
       levels.foreach { lv =>
         spark = GraftSession.local(lv, s"graft-bench-$lv-r$r")
         runPipeline(spark, s"$work/corpus_small", s"$work/warm-$lv-$r")
-        val sec = runPipeline(spark, s"$work/corpus", s"$work/out-$lv-$r")
-        best(lv) = math.min(best.getOrElse(lv, Double.MaxValue), sec)
-        if (!(r == rounds && lv == levels.last)) spark.stop()
+        val probe = cpuProbe(32, 100_000_000L) // quick instantaneous capacity check
+        val (sec, l0, l1, steal) = runPipeline(spark, s"$work/corpus", s"$work/out-$lv-$r")
+        samples += Sample(lv, r, sec, l0, l1, steal, probe)
+        spark.stop()
       }
     }
-    val sec2 = best(2)
-    val sec8 = best(8)
-    val sec32 = best(32)
+    val probeEnd = Map(2 -> cpuProbe(2), 8 -> cpuProbe(8), 32 -> cpuProbe(32))
 
-    val tp2 = nFiles / sec2
-    val tp8 = nFiles / sec8
-    val tp32 = nFiles / sec32
+    def bestSec(lv: Int) = samples.filter(_.level == lv).map(_.sec).min
+    def medSec(lv: Int) = median(samples.filter(_.level == lv).map(_.sec).toSeq)
+    val sec2 = bestSec(2); val sec8 = bestSec(8); val sec32 = bestSec(topLevel)
+    val tp2 = nFiles / sec2; val tp8 = nFiles / sec8; val tp32 = nFiles / sec32
+    val tpMed2 = nFiles / medSec(2); val tpMed8 = nFiles / medSec(8); val tpMed32 = nFiles / medSec(topLevel)
     val eff28 = tp8 / (4.0 * tp2)
-    val eff = tp32 / (4.0 * tp8)
+    val eff832 = tp32 / (4.0 * tp8)
+    val effMed28 = tpMed8 / (4.0 * tpMed2)
+    val effMed832 = tpMed32 / (4.0 * tpMed8)
+    // the host's own 8→32 ceiling, measured (min of start/end probes)
+    val ceil832 = math.min(probeStart(32) / (4.0 * probeStart(8)),
+                           probeEnd(32) / (4.0 * probeEnd(8)))
+    val ceil28 = math.min(probeStart(8) / (4.0 * probeStart(2)),
+                          probeEnd(8) / (4.0 * probeEnd(2)))
 
     // ---- headline operator queries at sf dir ----
+    // fresh session, engine-default confs, one warmup + one timed run each
+    spark = GraftSession.local(topLevel, "graft-bench-queries")
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (_, sec) = timed {
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
-      }
+      val sec =
+        try {
+          fn(spark, sfDir).count() // warm: plan + codegen + broadcast once
+          val (_, s) = timed(fn(spark, sfDir).count())
+          s
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+        }
       name -> sec
     }
     spark.stop()
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val sampleJson = samples.map { s =>
+      f"""{"level":${s.level},"round":${s.round},"sec":${s.sec}%.2f,"load_before":${s.load0}%.2f,"load_after":${s.load1}%.2f,"steal_frac":${s.steal}%.3f,"probe32_mops":${s.probe32}%.0f}"""
+    }.mkString("[", ",", "]")
+    def probeJson(m: Map[Int, Double]) =
+      f"""{"t2_mops":${m(2)}%.0f,"t8_mops":${m(8)}%.0f,"t32_mops":${m(32)}%.0f}"""
     val json =
-      f"""{"metric":"qf_files_per_sec_local32","value":$tp32%.1f,"unit":"files/sec","queries":$qs,"sf":"$sfDir","qf":{"files":$nFiles,"local2_sec":$sec2%.2f,"local8_sec":$sec8%.2f,"local32_sec":$sec32%.2f,"local2_files_per_sec":$tp2%.1f,"local8_files_per_sec":$tp8%.1f,"local32_files_per_sec":$tp32%.1f,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff%.3f},"queries_total_sec":${queryTimes.map(_._2).sum}%.2f}"""
+      f"""{"metric":"qf_files_per_sec_local32","value":$tp32%.1f,"unit":"files/sec","queries":$qs,"sf":"$sfDir","qf":{"files":$nFiles,"rounds":$rounds,"local2_sec":$sec2%.2f,"local8_sec":$sec8%.2f,"local32_sec":$sec32%.2f,"local2_files_per_sec":$tp2%.1f,"local8_files_per_sec":$tp8%.1f,"local32_files_per_sec":$tp32%.1f,"median_local2_files_per_sec":$tpMed2%.1f,"median_local8_files_per_sec":$tpMed8%.1f,"median_local32_files_per_sec":$tpMed32%.1f,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"median_scaling_efficiency_2_to_8":$effMed28%.3f,"median_scaling_efficiency_8_to_32":$effMed832%.3f,"host_ceiling_2_to_8":$ceil28%.3f,"host_ceiling_8_to_32":$ceil832%.3f,"cpu_probe_start":${probeJson(probeStart)},"cpu_probe_end":${probeJson(probeEnd)},"samples":$sampleJson},"queries_total_sec":${queryTimes.map(_._2).sum}%.2f}"""
     println(json)
 
     // best-effort BENCH.md update
     try {
+      val sampleRows = samples.map { s =>
+        f"| local[${s.level}] | ${s.round} | ${s.sec}%.2f | ${nFiles / s.sec}%.0f | ${s.load0}%.2f → ${s.load1}%.2f | ${s.steal * 100}%.1f%% | ${s.probe32}%.0f |"
+      }.mkString("\n")
       val md =
         f"""# BENCH — measured numbers
            |
            |Quality-filter end-to-end throughput (train langid+ppl, score,
            |heuristic + statistical rules, scrub, sha256, salted
            |repartitionByRange(repo,path) parquet write) on the deterministic
-           |synthetic corpus (seed 42, $nFiles files):
+           |synthetic corpus (seed 42, $nFiles files), $rounds interleaved
+           |rounds per level, one JIT warmup run per fresh session:
            |
-           || parallelism | wall sec | files/sec |
-           || --- | --- | --- |
-           || local[2]  | $sec2%.2f | $tp2%.1f |
-           || local[8]  | $sec8%.2f | $tp8%.1f |
-           || local[32] | $sec32%.2f | $tp32%.1f |
+           || parallelism | best wall sec | best files/sec | median files/sec |
+           || --- | --- | --- | --- |
+           || local[2]  | $sec2%.2f | $tp2%.1f | $tpMed2%.1f |
+           || local[8]  | $sec8%.2f | $tp8%.1f | $tpMed8%.1f |
+           || local[32] | $sec32%.2f | $tp32%.1f | $tpMed32%.1f |
            |
            |Scaling efficiency (N→4N pairs, sandbox stand-in for executor
-           |counts): 2→8 = **$eff28%.3f**, 8→32 = **$eff%.3f**.
+           |counts): 2→8 = **$eff28%.3f** best / $effMed28%.3f median,
+           |8→32 = **$eff832%.3f** best / $effMed832%.3f median.
            |
-           |Context: a pure-CPU probe (32 independent processes vs 8) on this
-           |shared Firecracker host measures a HARDWARE ceiling of ~0.84 for
-           |the 8→32 pair (vCPU overcommit + steal, one memory bus), so the
-           |8→32 figure is bounded by the box, not only the engine; the 2→8
-           |pair runs below that ceiling and is the cleaner read.
+           |Host context, measured in THIS bench invocation by a raw-CPU
+           |probe (pure 64-bit xorshift per thread, no memory traffic, no
+           |JVM coordination — an upper bound on any CPU-parallel job):
+           |2→8 thread ceiling = $ceil28%.3f, 8→32 thread ceiling =
+           |**$ceil832%.3f** (vCPU overcommit + steal + one memory bus).
+           |The engine's 8→32 pair is bounded by the box, not only the
+           |engine; the 2→8 pair runs below the ceiling and is the cleaner
+           |N→4N read.
            |
-           |Headline query seconds at `$sfDir`:
+           |Per-sample telemetry (every timed run):
+           |
+           || level | round | sec | files/sec | loadavg | steal | probe32 Mops |
+           || --- | --- | --- | --- | --- | --- | --- |
+           |$sampleRows
+           |
+           |Headline query seconds at `$sfDir` (fresh default-conf local[32]
+           |session, one warmup + one timed run per query):
            |
            |$qs
            |""".stripMargin

@@ -27,7 +27,10 @@ case class CosineSim(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // ragged pair → null, matching the HOF twin (zip_with null-pads the
+    // shorter array and the null propagates through the fold)
+    if (n != y.numElements()) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0

@@ -111,11 +111,14 @@ object QualityFilter {
     val pplModel = spark.sparkContext.broadcast(trained.ppl)
     val scored = score(input, langModel, pplModel)
     val withM = TextMetrics.withMetrics(scored.toDF())
-    // cache ONLY the tiny stats projection — caching the content-bearing
-    // intermediate costs more in serialization than recomputing one pass
-    val statsProj = withM.select(col("lang"), col("ppl"), col("n_chars"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val stats = langStats(statsProj)
+    // Per-lang stats are one row per lang: materialize them eagerly into a
+    // LocalRelation (a bounded driver-side collect, same shape as the model
+    // broadcast) so every downstream action — metrics, lineage, the write —
+    // gets the broadcast side for free instead of re-running the stats job,
+    // and nothing content-bearing is ever cached.
+    val statsDistributed = langStats(withM.select(col("lang"), col("ppl"), col("n_chars")))
+    val stats = spark.createDataFrame(
+      java.util.Arrays.asList(statsDistributed.collect(): _*), statsDistributed.schema)
     val joined = withM.join(broadcast(stats), Seq("lang"), "left")
 
     val reasons = reasonExprs(cfg)

@@ -1,8 +1,9 @@
 package graft.table
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
 /** Iceberg-semantics table layer from scratch (SURVEY.md §7.2: no Iceberg
   * jar offline): immutable parquet data files + a JSON snapshot log with
@@ -59,10 +60,12 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
   }
 
   def snapshots(): Seq[Snapshot] =
-    Files.list(logDir).iterator().asScala.toSeq
-      .filter(_.getFileName.toString.matches("v\\d{8}\\.json"))
-      .sortBy(_.getFileName.toString)
-      .map(p => parse(new String(Files.readAllBytes(p), "UTF-8")))
+    Using.resource(Files.list(logDir)) { stream =>
+      stream.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.matches("v\\d{8}\\.json"))
+        .sortBy(_.getFileName.toString)
+        .map(p => parse(new String(Files.readAllBytes(p), "UTF-8")))
+    }
 
   def latest(): Option[Snapshot] = snapshots().lastOption
 
@@ -100,15 +103,18 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
           live = cur.map(_.live).getOrElse(Seq.empty) ++ added)
         val staged = logDir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
         Files.write(staged, render(next).getBytes("UTF-8"))
-        try {
-          // atomic publish: exactly one writer can claim version slot n
-          Files.move(staged, manifestPath(next.version), StandardCopyOption.ATOMIC_MOVE)
-          next
-        } catch {
-          case _: java.nio.file.FileAlreadyExistsException =>
-            Files.deleteIfExists(staged)
-            commitLoop(commitKey, added) // lost the race; re-read log, retry
-        }
+        // Atomic publish: exactly one writer can claim version slot n.
+        // NOT Files.move(ATOMIC_MOVE): POSIX rename(2) silently REPLACES an
+        // existing target, so two racing writers could both "win" slot n and
+        // the loser's manifest would drop the winner's data dirs from `live`.
+        // link(2) fails with EEXIST when the slot is taken — a real
+        // compare-and-swap on every POSIX filesystem.
+        val won =
+          try { Files.createLink(manifestPath(next.version), staged); true }
+          catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        Files.deleteIfExists(staged)
+        if (won) next
+        else commitLoop(commitKey, added) // lost the race; re-read log, retry
     }
   }
 
