@@ -51,6 +51,10 @@ object SparkEntry {
     "q33_media_features"  -> (PipelineQueries.q33MediaFeatures _),
     "q34_polyfit3"        -> (PipelineQueries.q34Polyfit3 _),
     "q35_frame_sample"    -> (PipelineQueries.q35FrameSample _),
+    "q36_census_csv"      -> (CsvQueries.q36CensusCsv _),
+    "q37_national_csv"    -> (CsvQueries.q37NationalCsv _),
+    "q38_str2frame"       -> (CsvQueries.q38Str2frame _),
+    "q39_five_year"       -> (CsvQueries.q39FiveYearInternal _),
     // flagship pipeline (not SQL-expressible: broadcast-model stages) —
     // driver records rows-only checks for these two.
     "q30_quality_filter"  -> (DocumentsAdapter.qualityFilterQuery _),
@@ -83,5 +87,10 @@ object SparkEntry {
     "q24_emb_dup"         -> PipelineSql.q24EmbDup,
     "q25_ann_brute"       -> PipelineSql.q25AnnBrute,
     "q28_text_quality"    -> PipelineSql.q28TextQuality,
+    "q34_polyfit3"        -> PipelineSql.q34Polyfit3,
+    "q36_census_csv"      -> CsvSql.q36CensusCsv,
+    "q37_national_csv"    -> CsvSql.q37NationalCsv,
+    "q38_str2frame"       -> CsvSql.q38Str2frame,
+    "q39_five_year"       -> CsvSql.q39FiveYearInternal,
   )
 }

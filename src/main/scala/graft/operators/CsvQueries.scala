@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.sources.CensusCsv
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver queries for the CSV ingestion path (SURVEY.md §2.1 S3-S7) and the
+  * five-year report family (W3/W4), running against the reference's own
+  * committed data files. Each has a DuckDB oracle in [[CsvSql]] that
+  * re-reads the same CSVs independently (read_csv with explicit columns).
+  */
+object CsvQueries {
+
+  val CensusCanada = "/root/reference/src/censusData/Canada.csv"
+  val NationalCanada = "/root/reference/src/nationalData/Canada.csv"
+
+  /** S3: explicit-schema census scan (BOM-headed, comma-separated). */
+  def q36CensusCsv(s: SparkSession, dir: String): DataFrame =
+    CensusCsv.readCensus(s, CensusCanada)
+      .orderBy("year", "species")
+
+  /** S4: national scan with per-file column order resolved by header name,
+    * cast to the canonical schema.
+    */
+  def q37NationalCsv(s: SparkSession, dir: String): DataFrame =
+    CensusCsv.readNational(s, NationalCanada)
+      .filter(col("species") === "Cattle")
+      .orderBy("year")
+
+  /** S5+S7: str2frame CSV-text parse (drop header AND the text after the
+    * last newline — the reference's [1:-1] quirk: the 2003 row below is
+    * intentionally not newline-terminated and must not appear) +
+    * canonicalization (quote strip, casts, literal source).
+    */
+  def q38Str2frame(s: SparkSession, dir: String): DataFrame = {
+    val payload = "country,year,species,population,source\n" +
+      "Canada,\"2001\",Cattle,\"100\",woah\n" +
+      "Canada,\"2002\",Cattle,\"110\",woah\n" +
+      "Canada,2003,Cattle,121,woah" // dropped by the [1:-1] parse
+    val df = s.createDataFrame(Seq(Tuple1(payload))).toDF("payload")
+    CensusCsv.canonicalize(CensusCsv.str2frame(df, "payload", "WOAH"), "WOAH")
+      .orderBy("year")
+  }
+
+  /** W3+W4 five-year internal drift report over census+national Canada
+    * cattle (all flagged rows; the reference's dict collapse is a sink bug
+    * covered by [[FiveYearReport.collapseLastWins]] + the golden spec).
+    */
+  def q39FiveYearInternal(s: SparkSession, dir: String): DataFrame = {
+    val census = CensusCsv.readCensus(s, CensusCanada)
+      .withColumn("source", lit("Census"))
+    val national = CensusCsv.readNational(s, NationalCanada)
+      .withColumn("source", lit("National"))
+    val all = census.unionByName(national).filter(col("species") === "Cattle")
+    FiveYearReport.internal(all)
+      .select(col("year"), col("source"),
+        round(col("prev_pct"), 6).as("prev_pct"), round(col("pct"), 6).as("pct"))
+      .orderBy("year", "source")
+  }
+}
+
+object CsvSql {
+  private val CensusRead =
+    """read_csv('/root/reference/src/censusData/Canada.csv', header=true,
+      |  columns={'year':'INTEGER','species':'VARCHAR','population':'BIGINT','source':'VARCHAR'})""".stripMargin
+  private val NationalRead =
+    """read_csv('/root/reference/src/nationalData/Canada.csv', header=true,
+      |  columns={'year':'INTEGER','source':'VARCHAR','species':'VARCHAR','population':'BIGINT'})""".stripMargin
+
+  val q36CensusCsv: String =
+    s"""SELECT year, species, population, source FROM $CensusRead
+       |ORDER BY year, species""".stripMargin
+
+  val q37NationalCsv: String =
+    s"""SELECT year, species, population, source FROM $NationalRead
+       |WHERE species = 'Cattle' ORDER BY year""".stripMargin
+
+  val q38Str2frame: String =
+    """SELECT * FROM (VALUES (2001, 'Cattle', CAST(100 AS BIGINT), 'WOAH'),
+      |                      (2002, 'Cattle', CAST(110 AS BIGINT), 'WOAH'))
+      |  AS t(year, species, population, source) ORDER BY year""".stripMargin
+
+  val q39FiveYearInternal: String =
+    s"""WITH census AS (
+       |  SELECT year, species, population, 'Census' AS source FROM $CensusRead
+       |), national AS (
+       |  SELECT year, species, population, 'National' AS source FROM $NationalRead
+       |), all_rows AS (
+       |  SELECT * FROM census WHERE species = 'Cattle'
+       |  UNION ALL SELECT * FROM national WHERE species = 'Cattle'
+       |), bounds AS (SELECT MIN(year) AS mn, MAX(year) AS mx FROM all_rows),
+       |peryear AS (
+       |  SELECT source, year, SUM(population) AS pop
+       |  FROM all_rows GROUP BY source, year HAVING COUNT(*) = 1
+       |), bucketed AS (
+       |  SELECT source, CAST(mn + (FLOOR((year - mn) / 5) + 1) * 5 AS INTEGER) AS e,
+       |    CAST(SUM(pop) AS DOUBLE) / COUNT(*) AS avg
+       |  FROM peryear, bounds
+       |  WHERE mn + (FLOOR((year - mn) / 5) + 1) * 5 <= mx - 1
+       |  GROUP BY 1, 2
+       |), grid AS (
+       |  SELECT s.source, CAST(UNNEST(generate_series(mn + 5, mx - 1, 5)) AS INTEGER) AS e
+       |  FROM bounds, (SELECT UNNEST(['FAOSTAT','WOAH','Census','National']) AS source) s
+       |), avgs AS (
+       |  SELECT g.source, g.e, COALESCE(b.avg, 0.0) AS avg
+       |  FROM grid g LEFT JOIN bucketed b ON g.source = b.source AND g.e = b.e
+       |), pcts AS (
+       |  SELECT source, e, avg, LAG(avg) OVER (PARTITION BY source ORDER BY e) AS pavg FROM avgs
+       |), pct2 AS (
+       |  SELECT source, e,
+       |    CASE WHEN pavg IS NULL THEN NULL WHEN pavg = 0 OR avg = 0 THEN 0.0
+       |      ELSE (avg - pavg) / pavg * 100 END AS pct
+       |  FROM pcts
+       |), withprev AS (
+       |  SELECT source, e, pct, LAG(pct) OVER (PARTITION BY source ORDER BY e) AS ppct
+       |  FROM pct2 WHERE pct IS NOT NULL
+       |)
+       |SELECT e AS year, source, ROUND(ppct, 6) AS prev_pct, ROUND(pct, 6) AS pct
+       |FROM withprev
+       |WHERE ppct IS NOT NULL AND (pct > ppct + ppct * 0.1 OR pct < ppct - ppct * 0.1)
+       |ORDER BY year, source""".stripMargin
+}

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's five-year-average drift/consistency reports (SURVEY.md
+  * §3 entry point 2: src/app.py:1481-1583 → src/outlierFinders.py:54-128)
+  * as distributed DataFrame programs over the canonical long table
+  * `(year, species, population, source)` — already filtered to one species.
+  *
+  * Faithful in MATH, clean in PRESENTATION:
+  *  - bucket ends anchored at the min year over ALL sources, strictly below
+  *    the max year (src/app.py:1541-1550);
+  *  - a year feeds its bucket only when exactly ONE row matches it — the
+  *    reference's `int(row['population'])` raises on 0/2+ matches and the
+  *    bare except skips the year (src/app.py:74-79);
+  *  - empty bucket → average 0; %-change forced to 0 when either bucket
+  *    average is 0 (src/app.py:1560-1579);
+  *  - band as written: ub = x + x·0.1, lb = x − x·0.1
+  *    (src/outlierFinders.py:47-51), inverted for negative x;
+  *  - external pairs are checked ONE direction each in fixed source order
+  *    (src/outlierFinders.py:96-120).
+  * The sink-level bugs (dict last-writer-wins collapse, trailing-'0' string
+  * filter) are NOT engine semantics — [[graft.oracle.RefReports]] replicates
+  * them for golden byte-parity, and [[collapseLastWins]] is provided for
+  * callers that want the reference's exact row set.
+  *
+  * Scale shape: one shuffle to (source, e) granularity, a broadcast of the
+  * single-row year bounds, windows over the tiny bucket grid, and a
+  * broadcast self-join for the external pairs — input-size work is one
+  * aggregation pass; everything after is O(sources × buckets).
+  */
+object FiveYearReport {
+
+  /** Canonical source order — the reference's loop order, which decides
+    * last-writer-wins precedence (FAOSTAT < WOAH < Census < National).
+    */
+  val SourceOrder: Seq[String] = Seq("FAOSTAT", "WOAH", "Census", "National")
+
+  private def ubnd(c: Column): Column = c + c * 0.1
+  private def lbnd(c: Column): Column = c - c * 0.1
+
+  /** Per-(source, bucket-end) %-change grid: columns
+    * (source, e, avg, pct, pct_guard). Every source appears at every bucket
+    * end (missing data → avg 0), mirroring the reference's parallel arrays.
+    */
+  def pctGrid(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val bounds = df.agg(min(col("year")).as("mn"), max(col("year")).as("mx"))
+    // years with exactly one row per source feed their bucket
+    val perYear = df.groupBy(col("source"), col("year"))
+      .agg(count(lit(1)).as("n"), sum(col("population")).as("pop"))
+      .filter(col("n") === 1)
+    val bucketed = perYear.crossJoin(broadcast(bounds))
+      .withColumn("e", (col("mn") + (floor((col("year") - col("mn")) / 5) + 1) * 5).cast("int"))
+      .filter(col("e") <= col("mx") - 1)
+      .groupBy(col("source"), col("e"))
+      .agg((sum(col("pop")).cast("double") / count(lit(1))).as("avg"))
+    // full grid: all 4 sources × all bucket ends (empty bucket → avg 0)
+    val grid = bounds
+      .select(explode(when(col("mx") - 1 >= col("mn") + 5,
+        sequence(col("mn") + 5, col("mx") - 1, lit(5)))
+        .otherwise(array().cast("array<int>"))).as("e"))
+      .crossJoin(spark.createDataFrame(
+        SourceOrder.map(Tuple1(_))).toDF("source"))
+    val avgs = grid.join(bucketed, Seq("source", "e"), "left")
+      .withColumn("avg", coalesce(col("avg"), lit(0.0)))
+    val w = Window.partitionBy(col("source")).orderBy(col("e"))
+    avgs
+      .withColumn("prev_avg", lag(col("avg"), 1).over(w))
+      .withColumn("pct_guard", col("prev_avg") === 0 || col("avg") === 0)
+      .withColumn("pct",
+        when(col("prev_avg").isNull, lit(null))
+          .when(col("pct_guard"), lit(0.0))
+          .otherwise((col("avg") - col("prev_avg")) / col("prev_avg") * 100))
+      .filter(col("pct").isNotNull)
+      .select(col("source"), col("e"), col("avg"), col("pct"), col("pct_guard"))
+  }
+
+  /** INTERNAL drift rows (W4): (year, source, prev_pct, pct) where pct is
+    * outside prev_pct ± 10%·prev_pct. All flagged rows are emitted — apply
+    * [[collapseLastWins]] for the reference's dict-collapsed row set.
+    */
+  def internal(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("e"))
+    pctGrid(df)
+      .withColumn("prev_pct", lag(col("pct"), 1).over(w))
+      .filter(col("prev_pct").isNotNull &&
+        (col("pct") > ubnd(col("prev_pct")) || col("pct") < lbnd(col("prev_pct"))))
+      .select(col("e").as("year"), col("source"), col("prev_pct"), col("pct"))
+  }
+
+  /** The reference's dict collapse: one row per year, last-written source
+    * wins (loop order = [[SourceOrder]]).
+    */
+  def collapseLastWins(internalRows: DataFrame): DataFrame = {
+    val prec = SourceOrder.zipWithIndex.foldLeft(lit(-1)) { case (acc, (s, i)) =>
+      when(col("source") === s, lit(i)).otherwise(acc)
+    }
+    internalRows
+      .withColumn("_prec", prec)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("year")).orderBy(col("_prec").desc)))
+      .filter(col("_rn") === 1)
+      .drop("_prec", "_rn")
+  }
+
+  /** EXTERNAL consistency rows (W5): (year, src_a, pct_a, src_b, pct_b) for
+    * the 6 ordered pairs, flagged when a is outside b's ±10% band (the
+    * reference checks each pair in one direction only). The pct grid is
+    * O(sources × buckets) — broadcast self-join, no shuffle.
+    */
+  def external(df: DataFrame): DataFrame = {
+    val prec = SourceOrder.zipWithIndex.foldLeft(lit(-1)) { case (acc, (s, i)) =>
+      when(col("source") === s, lit(i)).otherwise(acc)
+    }
+    val g = pctGrid(df).withColumn("_prec", prec)
+    val a = g.select(col("e"), col("source").as("src_a"),
+      col("pct").as("pct_a"), col("_prec").as("_pa"))
+    val b = g.select(col("e"), col("source").as("src_b"),
+      col("pct").as("pct_b"), col("_prec").as("_pb"))
+    a.join(broadcast(b), "e")
+      .filter(col("_pa") < col("_pb"))
+      .filter(col("pct_a") > ubnd(col("pct_b")) || col("pct_a") < lbnd(col("pct_b")))
+      .select(col("e").as("year"), col("src_a"), col("pct_a"), col("src_b"), col("pct_b"))
+  }
+}

@@ -108,16 +108,32 @@ object PipelineQueries {
       .agg(countDistinct(col("media_id")).as("n_videos"), count(lit(1)).as("n_frames"))
   }
 
-  /** Degree-3 polynomial fit per priority via the typed Aggregator
-    * (rows-only; deg-1/2 are DuckDB-checked in q16/q19).
+  /** Degree-3 polynomial fit per priority via the typed Aggregator + the
+    * W8 residual rule at the degree the reference actually emits
+    * (src/app.py:1846-1847 → src/outlierFinders.py:26-45): n_flags = rows
+    * whose prediction falls outside actual ± 10%·actual. DuckDB-checked
+    * (the oracle expands the 4×4 normal equations by Cramer; the
+    * Aggregator's partial-pivot Gauss agrees at the rounded precision, and
+    * flags are computed from the ROUNDED coefficients on both sides so the
+    * comparison is arithmetic-identical).
     */
   def q34Polyfit3(s: SparkSession, dir: String): DataFrame = {
     val base = SeriesQueries.monthly(s, dir)
       .withColumn("xi", (col("mi") - min(col("mi")).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("p")))).cast("double"))
-    PolyFit.fit(base, "p", "xi", "tot", 3)
+    val fit = PolyFit.fit(base, "p", "xi", "tot", 3)
       .select(col("p"), round(col("c0"), 2).as("c0"), round(col("c1"), 2).as("c1"),
         round(col("c2"), 2).as("c2"), round(col("c3"), 2).as("c3"))
+    base.join(broadcast(fit), Seq("p"))
+      .withColumn("pred", col("c0") + col("xi") * col("c1") +
+        col("xi") * col("xi") * col("c2") + col("xi") * col("xi") * col("xi") * col("c3"))
+      .withColumn("flag",
+        col("pred") > col("tot") + col("tot") * 0.1 ||
+        col("pred") < col("tot") - col("tot") * 0.1)
+      .groupBy(col("p"))
+      .agg(first(col("c0")).as("c0"), first(col("c1")).as("c1"),
+        first(col("c2")).as("c2"), first(col("c3")).as("c3"),
+        sum(when(col("flag"), 1L).otherwise(0L)).as("n_flags"))
       .orderBy("p")
   }
 }
@@ -162,6 +178,48 @@ object PipelineSql {
       |        c.vec_id ASC) AS rk
       |  FROM embeddings q JOIN embeddings c ON q.vec_id % 97 = 0 AND q.vec_id <> c.vec_id
       |) WHERE rk <= 3 ORDER BY q_id, rk""".stripMargin
+
+  val q34Polyfit3: String = {
+    def det3(m: Seq[Seq[String]]): String = {
+      val Seq(Seq(a1, a2, a3), Seq(b1, b2, b3), Seq(c1, c2, c3)) = m
+      s"($a1)*(($b2)*($c3)-($b3)*($c2)) - ($a2)*(($b1)*($c3)-($b3)*($c1)) + ($a3)*(($b1)*($c2)-($b2)*($c1))"
+    }
+    def det4(m: Seq[Seq[String]]): String =
+      (0 until 4).map { j =>
+        val minor = (1 until 4).map(r => (0 until 4).collect { case c if c != j => m(r)(c) })
+        val sign = if (j % 2 == 0) "+" else "-"
+        s"$sign (${m(0)(j)}) * (${det3(minor)})"
+      }.mkString(" ")
+    val M = Seq(
+      Seq("s0", "s1", "s2", "s3"), Seq("s1", "s2", "s3", "s4"),
+      Seq("s2", "s3", "s4", "s5"), Seq("s3", "s4", "s5", "s6"))
+    val rhs = Seq("ty", "txy", "tx2y", "tx3y")
+    def repl(colIdx: Int): Seq[Seq[String]] =
+      M.zipWithIndex.map { case (row, r) => row.updated(colIdx, rhs(r)) }
+    val d = det4(M)
+    val cs = (0 to 3).map(j => s"ROUND((${det4(repl(j))})/($d), 2)")
+    s"""WITH base AS (${SeriesSql.BaseSql}),
+       |centered AS (
+       |  SELECT p, tot, CAST(mi - MIN(mi) OVER (PARTITION BY p) AS DOUBLE) AS xi FROM base
+       |), m AS (
+       |  SELECT p, CAST(COUNT(*) AS DOUBLE) AS s0, SUM(xi) AS s1, SUM(xi*xi) AS s2,
+       |    SUM(xi*xi*xi) AS s3, SUM(xi*xi*xi*xi) AS s4,
+       |    SUM(xi*xi*xi*xi*xi) AS s5, SUM(xi*xi*xi*xi*xi*xi) AS s6,
+       |    CAST(SUM(CAST(tot AS DECIMAL(28,6))) AS DOUBLE) AS ty,
+       |    CAST(SUM(CAST(xi*tot AS DECIMAL(28,6))) AS DOUBLE) AS txy,
+       |    CAST(SUM(CAST(xi*xi*tot AS DECIMAL(28,6))) AS DOUBLE) AS tx2y,
+       |    CAST(SUM(CAST(xi*xi*xi*tot AS DECIMAL(28,6))) AS DOUBLE) AS tx3y
+       |  FROM centered GROUP BY p
+       |), fit AS (
+       |  SELECT p, ${cs(0)} AS c0, ${cs(1)} AS c1, ${cs(2)} AS c2, ${cs(3)} AS c3 FROM m
+       |)
+       |SELECT c.p, c0, c1, c2, c3,
+       |  CAST(SUM(CASE WHEN c0 + xi*c1 + xi*xi*c2 + xi*xi*xi*c3 > tot + tot*0.1
+       |    OR c0 + xi*c1 + xi*xi*c2 + xi*xi*xi*c3 < tot - tot*0.1
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flags
+       |FROM centered c JOIN fit ON c.p = fit.p
+       |GROUP BY c.p, c0, c1, c2, c3 ORDER BY c.p""".stripMargin
+  }
 
   val q28TextQuality: String =
     s"""WITH m AS (

@@ -128,21 +128,21 @@ object SeriesQueries {
 }
 
 object SeriesSql {
-  private val Base =
+  val BaseSql: String =
     """SELECT o_orderpriority AS p, year(o_orderdate) AS yr,
       |  CAST(year(o_orderdate)*12 + month(o_orderdate) AS INTEGER) AS mi,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS tot
       |FROM orders GROUP BY 1, 2, 3""".stripMargin
 
   val q09GrowthRate: String =
-    s"""WITH base AS ($Base)
+    s"""WITH base AS ($BaseSql)
        |SELECT p, mi, ROUND(gr, 6) AS gr FROM (
        |  SELECT p, mi, (LEAD(tot) OVER (PARTITION BY p ORDER BY mi) - tot) / tot * 100 AS gr
        |  FROM base
        |) WHERE gr IS NOT NULL ORDER BY p, mi""".stripMargin
 
   val q10Roc: String =
-    s"""WITH base AS ($Base)
+    s"""WITH base AS ($BaseSql)
        |SELECT p, mi, ROUND(roc, 6) AS roc FROM (
        |  SELECT p, mi,
        |    (LEAD(tot) OVER (PARTITION BY p ORDER BY mi) - tot)
@@ -152,7 +152,7 @@ object SeriesSql {
        |) WHERE roc IS NOT NULL ORDER BY p, mi""".stripMargin
 
   val q11BucketDrift: String =
-    s"""WITH base AS ($Base),
+    s"""WITH base AS ($BaseSql),
        |yearly AS (
        |  SELECT p, yr, CAST(SUM(CAST(tot AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_tot
        |  FROM base GROUP BY p, yr
@@ -168,7 +168,7 @@ object SeriesSql {
        |FROM lagged ORDER BY p, yr""".stripMargin
 
   val q12ThreeSigma: String =
-    s"""WITH base AS ($Base),
+    s"""WITH base AS ($BaseSql),
        |gr AS (
        |  SELECT * FROM (
        |    SELECT p, mi, (LEAD(tot) OVER (PARTITION BY p ORDER BY mi) - tot) / tot * 100 AS gr
@@ -225,7 +225,7 @@ object SeriesSql {
       |ORDER BY seq.p, seq.di""".stripMargin
 
   val q16Ols: String =
-    s"""WITH base AS ($Base),
+    s"""WITH base AS ($BaseSql),
        |centered AS (
        |  SELECT p, tot, CAST(mi - MIN(mi) OVER (PARTITION BY p) AS DOUBLE) AS xi FROM base
        |), m AS (
@@ -254,7 +254,7 @@ object SeriesSql {
     val d0 = det("ty", "s1", "s2", "txy", "s2", "s3", "tx2y", "s3", "s4")
     val d1 = det("s0", "ty", "s2", "s1", "txy", "s3", "s2", "tx2y", "s4")
     val d2 = det("s0", "s1", "ty", "s1", "s2", "txy", "s2", "s3", "tx2y")
-    s"""WITH base AS ($Base),
+    s"""WITH base AS ($BaseSql),
        |centered AS (
        |  SELECT p, tot, CAST(mi - MIN(mi) OVER (PARTITION BY p) AS DOUBLE) AS xi FROM base
        |), m AS (

@@ -1,0 +1,78 @@
+package graft.oracle
+
+/** Python `repr(float)` replicated in Scala — shortest decimal string that
+  * round-trips to the same IEEE-754 double, rendered with CPython's
+  * formatting rules (positional for 1e-4 ≤ |x| < 1e16, else scientific
+  * with `e±dd`). Needed for byte-exact comparison against the reference's
+  * committed golden CSVs, which are written by Python f-strings
+  * (src/outlierFinders.py:41,67-79,101-120).
+  *
+  * JDK 17's Double.toString is not guaranteed shortest (JDK-4511638, fixed
+  * only in JDK 19), and its grammar ("1.0696E7") differs from Python's
+  * ("10696000.0") anyway, so the shortest digit string is found by probing
+  * precisions 1..17 through %.*e and taking the first that round-trips.
+  */
+object PyRepr {
+
+  def repr(d: Double): String = {
+    if (d == 0.0) return if (1.0 / d < 0) "-0.0" else "0.0"
+    if (d.isNaN) return "nan"
+    if (d.isInfinite) return if (d > 0) "inf" else "-inf"
+    val neg = d < 0
+    val a = math.abs(d)
+    var p = 1
+    var s = String.format(java.util.Locale.ROOT, "%.0e", Double.box(a))
+    while (s.toDouble != a && p < 17) {
+      s = String.format(java.util.Locale.ROOT, s"%.${p}e", Double.box(a))
+      p += 1
+    }
+    // s = "d.dddde±xx"
+    val Array(mant, expS) = s.split("[eE]")
+    val exp = expS.toInt
+    val digits = mant.replace(".", "")
+    val body = format(digits, exp)
+    if (neg) "-" + body else body
+  }
+
+  /** CPython float_repr formatting of `digits` (no dot) × 10^exp where the
+    * decimal point conceptually sits after the first digit.
+    */
+  private def format(digits0: String, exp: Int): String = {
+    val digits = digits0.reverse.dropWhile(_ == '0').reverse match {
+      case "" => "0"
+      case x => x
+    }
+    if (exp >= -4 && exp < 16) {
+      if (exp >= digits.length - 1) {
+        // integer-valued: pad zeros, add ".0"
+        digits + "0" * (exp - (digits.length - 1)) + ".0"
+      } else if (exp >= 0) {
+        digits.substring(0, exp + 1) + "." + digits.substring(exp + 1)
+      } else {
+        "0." + "0" * (-exp - 1) + digits
+      }
+    } else {
+      val mant = if (digits.length == 1) digits else digits.head + "." + digits.tail
+      val sign = if (exp < 0) "-" else "+"
+      val e = math.abs(exp)
+      val eStr = if (e < 10) "0" + e else e.toString
+      s"${mant}e$sign$eStr"
+    }
+  }
+
+  /** repr of the reference's mixed int/float cells: Python int prints bare
+    * ("0"), float via repr ("0.0").
+    */
+  def reprNum(n: RefNum): String = n match {
+    case RefInt(v) => v.toString
+    case RefFloat(v) => repr(v)
+  }
+}
+
+/** A Python number cell: the reference's lists mix literal ints (the `0`
+  * zero-guard appends, src/app.py:1562-1579) with floats — the distinction
+  * is visible in the golden CSVs ("0" vs "0.0").
+  */
+sealed trait RefNum { def toDouble: Double }
+case class RefInt(v: Long) extends RefNum { def toDouble: Double = v.toDouble }
+case class RefFloat(v: Double) extends RefNum { def toDouble: Double = v }

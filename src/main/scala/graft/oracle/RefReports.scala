@@ -1,0 +1,248 @@
+package graft.oracle
+
+import scala.collection.mutable
+
+/** Sequential parity oracle for the reference's REPORT SINKS — the code
+  * paths that produced the 19 golden CSVs committed under
+  * `/root/reference/automatedInconsistencies/`. Faithful to every quirk
+  * (SURVEY.md §2.5 says quirks live in the parity oracle, the engine keeps
+  * clean semantics):
+  *
+  *  - groupBy5Years (src/app.py:64-83): a year contributes to its bucket
+  *    only if EXACTLY one row matches it (`int(row['population'])` raises
+  *    on 0 or >1 matches and the bare except skips the year); empty bucket
+  *    → literal int 0;
+  *  - bucket %-change zero-guards appending literal int 0
+  *    (src/app.py:1560-1579) — ints render as "0", floats via repr;
+  *  - INTERNAL rule dict keyed by year, LAST writer wins across the source
+  *    loops in order FAOSTAT → WOAH → Census → national, but insertion
+  *    ORDER is first-writer (Python dict update keeps position)
+  *    (src/outlierFinders.py:54-82);
+  *  - EXTERNAL rule: 6 ordered pairs, one direction each, then rows whose
+  *    rendered string ends in the character '0' are dropped
+  *    (src/outlierFinders.py:85-128);
+  *  - band math exactly as written: ub = x + x*0.1, lb = x - x*0.1
+  *    (src/outlierFinders.py:47-51);
+  *  - poly-regression outliers (src/app.py:1801-1847 +
+  *    src/outlierFinders.py:26-45): deg-3 fit = sklearn LinearRegression on
+  *    PolynomialFeatures, i.e. column-centered Vandermonde solved by
+  *    MIN-NORM least squares (rank-deficient inputs — 2-point series —
+  *    take the pseudoinverse solution); missing years infilled AFTER the
+  *    fit, x sorted, and y[i] compared against pred[i] over the EXTENDED x
+  *    — the index misalignment is part of the committed goldens
+  *    (verified byte-identical on `UN Census Data_Cattle_Canada_...csv`).
+  */
+object RefReports {
+
+  import PyRepr.reprNum
+
+  // ---- five-year average family (W3/W4/W5) -------------------------------
+
+  /** groupBy5Years: avg of populations over years [start, end), skipping
+    * years with ≠1 matching row; int 0 for an empty bucket.
+    */
+  def bucketAvg(rows: Seq[(Int, Long)], start: Int, end: Int): RefNum = {
+    var sum = 0L
+    var n = 0
+    var yr = start
+    while (yr < end) {
+      val m = rows.filter(_._1 == yr)
+      if (m.size == 1) { sum += m.head._2; n += 1 }
+      yr += 1
+    }
+    if (n == 0) RefInt(0) else RefFloat(sum.toDouble / n)
+  }
+
+  /** Bucket end years E: anchor+5k for k ≥ 1, strictly below the max year
+    * (src/app.py:1541-1550: `for i in range(years[0], years[-1])`).
+    */
+  def bucketEnds(allYears: Seq[Int]): Seq[Int] = {
+    if (allYears.isEmpty) return Seq.empty
+    val ys = allYears.distinct.sorted
+    val (lo, hi) = (ys.head, ys.last)
+    (lo until hi).zipWithIndex.collect {
+      case (i, counter) if counter % 5 == 0 && counter != 0 => i
+    }
+  }
+
+  /** %-changes between consecutive bucket avgs with the literal-0 guards. */
+  def pctChanges(avgs: Seq[RefNum]): Seq[RefNum] =
+    (1 until avgs.length).map { i =>
+      val a = avgs(i - 1).toDouble
+      val b = avgs(i).toDouble
+      if (a == 0 || b == 0) RefInt(0) else RefFloat((b - a) / a * 100)
+    }
+
+  private def ub(x: Double): Double = x + x * 0.1
+  private def lb(x: Double): Double = x - x * 0.1
+
+  case class FiveYearInput(
+      fao: Seq[(Int, Long)], woah: Seq[(Int, Long)],
+      census: Seq[(Int, Long)], national: Seq[(Int, Long)])
+
+  case class FiveYearPct(yearsArr: Seq[Int], fao: Seq[RefNum], woah: Seq[RefNum],
+      census: Seq[RefNum], national: Seq[RefNum])
+
+  /** The shared front half of the five-year callback: buckets, averages,
+    * %-changes, and the post-pop yearsArr (src/app.py:1519-1579).
+    */
+  def fiveYearPct(in: FiveYearInput): FiveYearPct = {
+    val years = (in.fao ++ in.woah ++ in.census ++ in.national).map(_._1)
+    val ends = bucketEnds(years)
+    def avgs(rows: Seq[(Int, Long)]) = ends.map(e => bucketAvg(rows, e - 5, e))
+    FiveYearPct(ends.drop(1),
+      pctChanges(avgs(in.fao)), pctChanges(avgs(in.woah)),
+      pctChanges(avgs(in.census)), pctChanges(avgs(in.national)))
+  }
+
+  /** INTERNAL drift report lines ("year,src,prev,cur"), dict semantics:
+    * last writer per year wins, first-writer insertion order.
+    */
+  def internalLines(p: FiveYearPct): Seq[String] = {
+    val out = mutable.LinkedHashMap[Int, String]()
+    for ((pct, label) <- Seq(p.fao -> "FAOSTAT", p.woah -> "WOAH",
+        p.census -> "Census data", p.national -> "national data")) {
+      var i = 1
+      while (i < pct.length) {
+        val prev = pct(i - 1).toDouble
+        if (pct(i).toDouble > ub(prev) || pct(i).toDouble < lb(prev))
+          out(p.yearsArr(i)) = s"$label,${reprNum(pct(i - 1))},${reprNum(pct(i))}"
+        i += 1
+      }
+    }
+    out.map { case (k, v) => s"$k,$v" }.toSeq
+  }
+
+  /** EXTERNAL consistency report lines ("year,SrcA,a,SrcB,b"), 6 ordered
+    * one-directional pair checks, then the trailing-'0' string filter.
+    */
+  def externalLines(p: FiveYearPct): Seq[String] = {
+    val out = mutable.ArrayBuffer[String]()
+    val srcs = Seq(p.fao -> "FAOSTAT", p.woah -> "WOAH",
+      p.census -> "Census", p.national -> "National")
+    val n = p.fao.length
+    // reference guards on list non-emptiness; all four lists share length n
+    val nonEmpty = srcs.map(_._1.nonEmpty)
+    var i = 0
+    while (i < n) {
+      for (ai <- 0 until 4; bi <- (ai + 1) until 4
+           if nonEmpty(ai) && nonEmpty(bi)) {
+        val (pa, la) = srcs(ai)
+        val (pb, lbl) = srcs(bi)
+        if (pa(i).toDouble > ub(pb(i).toDouble) || pa(i).toDouble < lb(pb(i).toDouble))
+          out += s"${p.yearsArr(i)},$la,${reprNum(pa(i))},$lbl,${reprNum(pb(i))}"
+      }
+      i += 1
+    }
+    out.toSeq.filterNot(_.endsWith("0"))
+  }
+
+  // ---- polynomial regression family (M1/W8/W9) ----------------------------
+
+  /** sklearn-equivalent fit: center the Vandermonde columns and y, solve by
+    * min-norm least squares with lstsq's rcond cutoff, intercept from the
+    * means. Returns (coeffs over raw powers 0..degree, intercept).
+    *
+    * The SVD is one-sided Jacobi (Hestenes) on the centered matrix itself —
+    * NOT an eigendecomposition of the Gram matrix, whose rounding noise
+    * (±eps·‖G‖) swamps small σ² and makes the rank cutoff a coin flip on
+    * rank-deficient inputs like the reference's 2-point census series.
+    * One-sided Jacobi resolves small singular values to relative accuracy,
+    * so the cutoff decision matches LAPACK gelsd with an order-of-magnitude
+    * margin.
+    */
+  def fitMinNorm(x: Array[Double], y: Array[Double], degree: Int): (Array[Double], Double) = {
+    val n = x.length
+    val m = degree + 1
+    // powers by iterative multiply (exact for year-scale ints up to deg 3)
+    val cols = Array.tabulate(m) { j =>
+      x.map { xi => var p = 1.0; var k = 0; while (k < j) { p *= xi; k += 1 }; p }
+    }
+    val colMean = cols.map(c => c.sum / n)
+    val yMean = y.sum / n
+    // a(k) = centered column k; v = right singular vectors (columns)
+    val a = Array.tabulate(m)(j => Array.tabulate(n)(i => cols(j)(i) - colMean(j)))
+    val yc = y.map(_ - yMean)
+    val v = Array.tabulate(m, m)((i, j) => if (i == j) 1.0 else 0.0)
+    def dot(u: Array[Double], w: Array[Double]): Double = {
+      var s = 0.0; var i = 0; while (i < n) { s += u(i) * w(i); i += 1 }; s
+    }
+    var sweep = 0
+    var converged = false
+    while (sweep < 60 && !converged) {
+      converged = true
+      for (i <- 0 until m; j <- i + 1 until m) {
+        val aij = dot(a(i), a(j))
+        if (aij != 0.0) {
+          val aii = dot(a(i), a(i))
+          val ajj = dot(a(j), a(j))
+          if (math.abs(aij) > 1e-15 * math.sqrt(aii * ajj)) {
+            converged = false
+            val tau = (ajj - aii) / (2.0 * aij)
+            val t = if (tau == 0.0) 1.0
+              else math.signum(tau) / (math.abs(tau) + math.sqrt(1.0 + tau * tau))
+            val c = 1.0 / math.sqrt(1.0 + t * t)
+            val s = c * t
+            var r = 0
+            while (r < n) {
+              val ai = a(i)(r); val aj = a(j)(r)
+              a(i)(r) = c * ai - s * aj
+              a(j)(r) = s * ai + c * aj
+              r += 1
+            }
+            r = 0
+            while (r < m) {
+              val vi = v(r)(i); val vj = v(r)(j)
+              v(r)(i) = c * vi - s * vj
+              v(r)(j) = s * vi + c * vj
+              r += 1
+            }
+          }
+        }
+      }
+      sweep += 1
+    }
+    val sigma = Array.tabulate(m)(k => math.sqrt(dot(a(k), a(k))))
+    val cutoff = math.max(n, m) * 2.220446049250313e-16 * sigma.max
+    val coef = new Array[Double](m)
+    for (k <- 0 until m; if sigma(k) > cutoff) {
+      // u_k = a(k)/σ_k  ⇒  contribution v_k · (u_kᵀ y)/σ_k = v_k · (a_kᵀ y)/σ_k²
+      val f = dot(a(k), yc) / (sigma(k) * sigma(k))
+      for (j <- 0 until m) coef(j) += v(j)(k) * f
+    }
+    val icept = yMean - (0 until m).map(j => colMean(j) * coef(j)).sum
+    (coef, icept)
+  }
+
+  /** Poly-regression outlier report lines for one (source, species): fit on
+    * the raw series, infill missing years, sort, flag pred[i] outside
+    * y[i] ± 10%·y[i] with the reference's index pairing. Line =
+    * "i,x_sorted_extended[i],float(y[i]),pred[i]".
+    */
+  def polyOutlierLines(x: Array[Int], y: Array[Long], degree: Int = 3): Seq[String] = {
+    if (x.isEmpty) return Seq.empty
+    val xd = x.map(_.toDouble)
+    val yd = y.map(_.toDouble)
+    val (coef, icept) = fitMinNorm(xd, yd, degree)
+    // infill: range(x[0], x[-1]+1) in FILE order of endpoints, then sort
+    val infilled = (x.head to x.last).filterNot(x.contains)
+    val xs = (x ++ infilled).sorted
+    def pred(xi: Double): Double = {
+      var acc = icept
+      var p = 1.0
+      var j = 0
+      while (j <= degree) { acc += coef(j) * p; p *= xi; j += 1 }
+      acc
+    }
+    val lines = mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < y.length) {
+      val d = yd(i) * 0.1
+      val p = pred(xs(i).toDouble)
+      if (p > yd(i) + d || p < yd(i) - d)
+        lines += s"$i,${xs(i)},${PyRepr.repr(yd(i))},${PyRepr.repr(p)}"
+      i += 1
+    }
+    lines.toSeq
+  }
+}

@@ -1,0 +1,122 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** CSV ingestion for reference-shaped population data (SURVEY.md §2.1
+  * S3-S7): explicit-schema census/national readers, the `str2frame` CSV-text
+  * parser, per-source canonicalizers, and the 4-source union loader.
+  *
+  * Engine policy vs the reference:
+  *  - schemas are EXPLICIT (never inferred — inference is nondeterministic
+  *    at scale; SURVEY.md §1.3); quoted files (src/censusData/Ethiopia.csv)
+  *    parse through the CSV quote option, not a post-hoc regex;
+  *  - casts are permissive (ANSI off): a malformed numeric cell becomes
+  *    null and drops out of derived series, mirroring `pd.to_numeric`;
+  *  - a national file whose header doesn't carry the exact lowercase
+  *    column names yields an EMPTY frame — the reference's KeyError-in-
+  *    bare-except behavior (src/API_helpers/helperFunctions.py:83-86,
+  *    e.g. src/nationalData/Ireland.csv's capitalized "Species").
+  */
+object CensusCsv {
+
+  /** Canonical long-table schema (src/censusData/Canada.csv:1). */
+  val schema: StructType = StructType(Seq(
+    StructField("year", IntegerType),
+    StructField("species", StringType),
+    StructField("population", LongType),
+    StructField("source", StringType)))
+
+  private val canonicalCols = Seq("year", "species", "population", "source")
+
+  /** S3: census CSV scan — columns are positional `year,species,population,
+    * source`; header row skipped (explicit schema makes the BOM some files
+    * carry irrelevant).
+    */
+  def readCensus(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true")
+      .option("quote", "\"")
+      .csv(path)
+
+  /** S4: national CSV scan — same columns in per-file ORDER (Canada:
+    * `year,source,species,population`; Chile: `species,year,population,
+    * source`), so resolve by header name: read untyped, then select+cast
+    * the canonical columns. Missing/miscased names → empty frame
+    * (reference parity).
+    */
+  def readNational(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read
+      .option("header", "true")
+      .option("quote", "\"")
+      .csv(path)
+    if (canonicalCols.forall(raw.columns.contains))
+      raw.select(
+        col("year").cast(IntegerType),
+        col("species"),
+        col("population").cast(LongType),
+        col("source"))
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** S5 `str2frame` (src/API_helpers/helperFunctions.py:46-53): parse a CSV
+    * text blob column with a positional schema, dropping the first line
+    * (header) and the last (the reference assumes a trailing newline and
+    * discards what follows it). FAOSTAT payloads carry
+    * `iso3,country,year,species,population`; others
+    * `country,year,species,population,source`.
+    */
+  def str2frame(df: DataFrame, textCol: String, source: String): DataFrame = {
+    val faoCols = Seq("iso3", "country", "year", "species", "population")
+    val woahCols = Seq("country", "year", "species", "population", "source")
+    val names = if (source.toUpperCase == "FAOSTAT") faoCols else woahCols
+    val lineSchema = StructType(names.map(StructField(_, StringType)))
+    val lines = split(col(textCol), "\n")
+    val body = slice(lines, lit(2), greatest(size(lines) - 2, lit(0)))
+    df.select(explode(body).as("_line"))
+      .select(from_csv(col("_line"), lineSchema, Map.empty[String, String]).as("r"))
+      .select(names.map(n => col(s"r.$n")): _*)
+  }
+
+  /** S6/S7 canonicalizer (src/API_helpers/fao.py:11-21, woah.py:10-19):
+    * literal source tag, drop iso3/country, strip stray quotes from all
+    * string cells, numeric casts. (Engine difference: no global sort —
+    * order is established by window specs downstream, never by a global
+    * exchange.)
+    */
+  def canonicalize(df: DataFrame, source: String): DataFrame = {
+    val dropped = Seq("iso3", "country").filter(df.columns.contains)
+    val base = dropped.foldLeft(df)(_ drop _)
+    val unquoted = base.columns.foldLeft(base) { (d, c) =>
+      d.withColumn(c, regexp_replace(col(c), "\"", ""))
+    }
+    unquoted
+      .withColumn("source", lit(source))
+      .withColumn("year", col("year").cast(IntegerType))
+      .withColumn("population", col("population").cast(LongType))
+      .select(canonicalCols.map(col): _*)
+  }
+
+  /** U1: the 4-source union for one (country, species) — census + national
+    * from disk, optional pre-parsed API frames.
+    */
+  def loadCountry(spark: SparkSession, censusDir: String, nationalDir: String,
+      country: String, species: String,
+      fao: Option[DataFrame] = None, woah: Option[DataFrame] = None): DataFrame = {
+    def exists(p: String) = java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+    val censusPath = s"$censusDir/$country.csv"
+    val nationalPath = s"$nationalDir/$country.csv"
+    val census =
+      if (exists(censusPath)) readCensus(spark, censusPath)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val national =
+      if (exists(nationalPath)) readNational(spark, nationalPath)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val apis = (fao.toSeq ++ woah.toSeq).map(_.select(canonicalCols.map(col): _*))
+    (Seq(census, national) ++ apis)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+      .filter(col("species") === lit(species))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.core.GraftSession
+import graft.sources.CensusCsv
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S3-S7 CSV ingestion over the reference's own committed data files:
+  * explicit schemas, quoting, BOM headers, permuted national columns, the
+  * reference's silent-empty behavior on header drift, and the str2frame
+  * parse quirks.
+  */
+class CsvSourcesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4, "csv-sources-spec")
+
+  private val censusDir = "/root/reference/src/censusData"
+  private val nationalDir = "/root/reference/src/nationalData"
+
+  test("S3 census scan: BOM-headed file parses with explicit schema") {
+    val df = CensusCsv.readCensus(spark, s"$censusDir/Canada.csv")
+    assert(df.columns.toSeq == Seq("year", "species", "population", "source"))
+    val cattle = df.filter(org.apache.spark.sql.functions.col("species") === "Cattle")
+      .orderBy("year").collect()
+    assert(cattle.map(r => (r.getInt(0), r.getLong(2))).toSeq ==
+      Seq((2001, 15551449L), (2011, 12789965L)))
+  }
+
+  test("S3 census scan: fully-quoted file (Ethiopia) parses to typed columns") {
+    val df = CensusCsv.readCensus(spark, s"$censusDir/Ethiopia.csv")
+    val first = df.orderBy("year", "species").limit(1).collect()(0)
+    assert(first.getInt(0) > 1900 && first.getLong(2) > 0)
+    assert(!first.getString(1).contains("\"")) // quote option, not regex scrub
+  }
+
+  test("S4 national scan: per-file column order resolved by header name") {
+    val canada = CensusCsv.readNational(spark, s"$nationalDir/Canada.csv")
+    assert(canada.columns.toSeq == Seq("year", "species", "population", "source"))
+    assert(canada.filter("species = 'Cattle'").count() == 83)
+    val chile = CensusCsv.readNational(spark, s"$nationalDir/Chile.csv")
+    assert(chile.columns.toSeq == Seq("year", "species", "population", "source"))
+    assert(chile.filter("species = 'Cattle' AND year = 2011").count() == 1)
+  }
+
+  test("S4 national scan: header drift yields empty frame (reference parity)") {
+    // src/nationalData/Ireland.csv capitalizes "Species" — the reference's
+    // KeyError lands in a bare except and returns an empty frame
+    // (src/API_helpers/helperFunctions.py:83-86)
+    assert(CensusCsv.readNational(spark, s"$nationalDir/Ireland.csv").count() == 0)
+  }
+
+  test("S5 str2frame: header and post-final-newline text are dropped") {
+    import spark.implicits._
+    val woahText = "h\nCanada,2001,Cattle,100,woah\nCanada,2002,Cattle,110,woah\ntruncated,garbage"
+    val df = Seq(Tuple1(woahText)).toDF("payload")
+    val parsed = CensusCsv.str2frame(df, "payload", "WOAH")
+    assert(parsed.columns.toSeq == Seq("country", "year", "species", "population", "source"))
+    assert(parsed.select("year").collect().map(_.getString(0)).sorted.toSeq == Seq("2001", "2002"))
+    // FAOSTAT payloads carry the iso3 column
+    val fao = CensusCsv.str2frame(
+      Seq(Tuple1("h\nCAN,Canada,2001,Cattle,100\n")).toDF("payload"), "payload", "FAOSTAT")
+    assert(fao.columns.toSeq == Seq("iso3", "country", "year", "species", "population"))
+    assert(fao.count() == 1)
+  }
+
+  test("S6/S7 canonicalize: quote strip, casts, literal source, iso3/country drop") {
+    import spark.implicits._
+    val raw = Seq(("CAN", "Canada", "\"2001\"", "Cattle", "\"100\""))
+      .toDF("iso3", "country", "year", "species", "population")
+    val c = CensusCsv.canonicalize(raw, "FAOSTAT").collect()(0)
+    assert(c.getInt(0) == 2001 && c.getString(1) == "Cattle" &&
+      c.getLong(2) == 100L && c.getString(3) == "FAOSTAT")
+  }
+
+  test("U1 loadCountry: census + national union for one (country, species)") {
+    val all = CensusCsv.loadCountry(spark, censusDir, nationalDir, "Canada", "Cattle")
+    assert(all.count() == 85) // 2 census + 83 national rows
+    // a country with no national file still loads (empty side)
+    val aus = CensusCsv.loadCountry(spark, censusDir, nationalDir, "Australia", "Cattle")
+    assert(aus.count() == 2)
+  }
+}

@@ -1,0 +1,211 @@
+package graft
+
+import graft.core.GraftSession
+import graft.operators.FiveYearReport
+import graft.oracle.{PyRepr, RefReports}
+import graft.sources.CensusCsv
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Parity against the reference's COMMITTED golden outputs (the csv files
+  * under `/root/reference/automatedInconsistencies/`) — the strongest
+  * available evidence that the engine's rule semantics match the system it
+  * replaces (SURVEY.md §5: golden-file tests).
+  *
+  * Reproducible offline: the 8 census/national poly-regression goldens
+  * (their inputs are the committed CSVs) and the census-sourced rows of the
+  * five-year INTERNAL golden. The FAOSTAT/WOAH-sourced golden rows came
+  * from live HTTP API data that is not committed anywhere, so they cannot
+  * be recomputed here; their *shape* is still validated (header + row
+  * grammar parse).
+  */
+class GoldenParitySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4, "golden-parity-spec")
+
+  private val refRoot = "/root/reference"
+  private val goldDir = s"$refRoot/automatedInconsistencies"
+
+  private def goldenLines(name: String): Seq[String] =
+    Files.readAllLines(Paths.get(s"$goldDir/$name.csv")).asScala.toSeq
+
+  /** (year, population) arrays for one species via the engine's CSV
+    * readers, preserving FILE ORDER (the reference fits on file order).
+    */
+  private def seriesOf(path: String, national: Boolean, species: String): (Array[Int], Array[Long]) = {
+    val df = if (national) CensusCsv.readNational(spark, path)
+             else CensusCsv.readCensus(spark, path)
+    // monotonically_increasing_id over a coalesced single partition keeps
+    // CSV file order — test-only convenience, never an engine pattern
+    val rows = df.coalesce(1).collect()
+      .filter(r => r.getAs[String]("species") == species)
+    (rows.map(_.getAs[Int]("year")), rows.map(_.getAs[Long]("population")))
+  }
+
+  // ---- poly-regression goldens (8 reproducible files) ---------------------
+
+  private val polyCases = Seq(
+    ("UN Census Data", s"$refRoot/src/censusData/Canada.csv", false,
+      Seq("Cattle", "Pigs", "Sheep", "Goats", "Chickens")),
+    ("National Census Data", s"$refRoot/src/nationalData/Canada.csv", true,
+      Seq("Cattle", "Pigs", "Sheep")))
+
+  test("poly-regression goldens: flagged rows exact, predictions ≤ 1e-5 rel (8 files)") {
+    var checkedRows = 0
+    for ((src, path, national, speciesList) <- polyCases; sp <- speciesList) {
+      val (x, y) = seriesOf(path, national, sp)
+      val mine = RefReports.polyOutlierLines(x, y, degree = 3)
+      val gold = goldenLines(s"${src}_${sp}_Canada_outliers_polynomial_regression").drop(1)
+      assert(mine.length == gold.length, s"$src/$sp row count")
+      mine.zip(gold).foreach { case (m, g) =>
+        val mf = m.split(","); val gf = g.split(",")
+        // index, x, y byte-exact; prediction band-compared (sklearn floats)
+        assert(mf.take(3).sameElements(gf.take(3)), s"$src/$sp: $m vs $g")
+        val (pm, pg) = (mf(3).toDouble, gf(3).toDouble)
+        assert(math.abs(pm - pg) <= 1e-5 * math.max(math.abs(pg), 1.0),
+          s"$src/$sp prediction: $m vs $g")
+        checkedRows += 1
+      }
+    }
+    assert(checkedRows >= 100) // National Sheep alone carries 93 flagged rows
+  }
+
+  test("rank-deficient fit is byte-exact vs golden (2-point series, min-norm lstsq)") {
+    val (x, y) = seriesOf(s"$refRoot/src/censusData/Canada.csv", national = false, "Cattle")
+    assert(x.length == 2) // the case that forces pseudoinverse semantics
+    val mine = RefReports.polyOutlierLines(x, y, degree = 3)
+    val gold = goldenLines("UN Census Data_Cattle_Canada_outliers_polynomial_regression").drop(1)
+    assert(mine == gold) // includes Python float repr of the prediction
+  }
+
+  // ---- five-year INTERNAL golden (census-sourced rows) --------------------
+
+  test("five-year INTERNAL golden: census rows byte-exact (Australia Cattle)") {
+    val (cx, cy) = seriesOf(s"$refRoot/src/censusData/Australia.csv", national = false, "Cattle")
+    // The golden run included live FAOSTAT/WOAH API data we cannot recompute;
+    // its year range (1961..2021, the FAOSTAT series span) is recovered from
+    // the golden's own bucket phase. Two sentinel years reproduce the anchor
+    // while contributing all-zero %-changes (they can never flag).
+    val in = RefReports.FiveYearInput(
+      fao = Seq(1961 -> 1L, 2021 -> 1L), woah = Seq.empty,
+      census = cx.zip(cy).map { case (a, b) => (a, b) }.toSeq, national = Seq.empty)
+    val lines = RefReports.internalLines(RefReports.fiveYearPct(in))
+    val censusLines = lines.filter(_.contains("Census data"))
+    val goldCensus = goldenLines("Cattle_Australia_outliers_five_year_avg_INTERNAL")
+      .drop(1).filter(_.contains("Census data"))
+    assert(goldCensus.nonEmpty)
+    assert(censusLines == goldCensus)
+  }
+
+  test("five-year golden files parse under the oracle's row grammar") {
+    val internal = goldenLines("Cattle_Australia_outliers_five_year_avg_INTERNAL")
+    assert(internal.head == "year,5 year avg,previous 5 year avg")
+    internal.drop(1).foreach { l =>
+      val f = l.split(",")
+      assert(f.length == 4 && f(0).toInt > 1900 &&
+        Seq("FAOSTAT", "WOAH", "Census data", "national data").contains(f(1)))
+      f.drop(2).foreach(v => assert(v == "0" || v.toDouble.isFinite))
+    }
+    val external = goldenLines("Cattle_Australia_outliers_five_year_avg_EXTERNAL")
+    assert(external.head == "year,Src,5 year avg,Src,previous 5 year avg")
+    external.drop(1).foreach { l =>
+      val f = l.split(",")
+      assert(f.length == 5 && !l.endsWith("0")) // trailing-'0' filter ran
+    }
+  }
+
+  // ---- Spark operator ⇄ oracle differential -------------------------------
+
+  /** Deterministic synthetic 4-source table with gaps, zeros, duplicate
+    * years (exercising the single-row-per-year quirk) and drifting levels.
+    */
+  private def syntheticLong(seed: Long): Seq[(Int, String, Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    for {
+      src <- FiveYearReport.SourceOrder
+      yr <- 1990 to 2023
+      if rnd.nextDouble() > 0.15 // gaps
+      copies = if (rnd.nextDouble() < 0.08) 2 else 1 // duplicate-year quirk
+      c <- 1 to copies
+    } yield (yr, "Cattle",
+      if (rnd.nextDouble() < 0.05) 0L else 1000L + rnd.nextInt(100000), src)
+  }
+
+  test("Spark five-year internal/external == sequential oracle (3 seeds)") {
+    import spark.implicits._
+    for (seed <- Seq(11L, 12L, 13L)) {
+      val rows = syntheticLong(seed)
+      val df = rows.toDF("year", "species", "population", "source")
+      def sides(src: String) = rows.filter(_._4 == src).map(r => (r._1, r._3))
+      val in = RefReports.FiveYearInput(
+        sides("FAOSTAT"), sides("WOAH"), sides("Census"), sides("National"))
+      val pct = RefReports.fiveYearPct(in)
+
+      // internal: oracle flags per source pre-collapse
+      val oracleInternal = (for ((p, lbl) <- Seq(pct.fao -> "FAOSTAT", pct.woah -> "WOAH",
+          pct.census -> "Census", pct.national -> "National");
+          i <- 1 until p.length
+          if p(i).toDouble > p(i - 1).toDouble + p(i - 1).toDouble * 0.1 ||
+             p(i).toDouble < p(i - 1).toDouble - p(i - 1).toDouble * 0.1)
+        yield (pct.yearsArr(i), lbl,
+          math.rint(p(i - 1).toDouble * 1e6) / 1e6, math.rint(p(i).toDouble * 1e6) / 1e6)).sorted
+      val sparkInternal = FiveYearReport.internal(df)
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1),
+          math.rint(r.getDouble(2) * 1e6) / 1e6, math.rint(r.getDouble(3) * 1e6) / 1e6))
+        .toSeq.sorted
+      assert(sparkInternal == oracleInternal, s"internal seed=$seed")
+
+      // external: oracle rows pre-trailing-'0' filter
+      val srcs = Seq(pct.fao -> "FAOSTAT", pct.woah -> "WOAH",
+        pct.census -> "Census", pct.national -> "National")
+      val oracleExternal = (for {
+        i <- pct.fao.indices
+        ai <- 0 until 4; bi <- (ai + 1) until 4
+        (pa, la) = srcs(ai); (pb, lb2) = srcs(bi)
+        if pa(i).toDouble > pb(i).toDouble + pb(i).toDouble * 0.1 ||
+           pa(i).toDouble < pb(i).toDouble - pb(i).toDouble * 0.1
+      } yield (pct.yearsArr(i), la, math.rint(pa(i).toDouble * 1e6) / 1e6,
+          lb2, math.rint(pb(i).toDouble * 1e6) / 1e6)).sorted
+      val sparkExternal = FiveYearReport.external(df)
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), math.rint(r.getDouble(2) * 1e6) / 1e6,
+          r.getString(3), math.rint(r.getDouble(4) * 1e6) / 1e6))
+        .toSeq.sorted
+      assert(sparkExternal == oracleExternal, s"external seed=$seed")
+
+      // dict collapse: at most one row per year, highest-precedence source
+      val collapsed = FiveYearReport.collapseLastWins(FiveYearReport.internal(df))
+        .collect().map(r => (r.getInt(0), r.getString(1))).toMap
+      val oracleCollapsed = oracleInternal
+        .groupBy(_._1)
+        .map { case (yr, rs) =>
+          yr -> rs.maxBy(r => FiveYearReport.SourceOrder.indexOf(r._2))._2
+        }
+      assert(collapsed == oracleCollapsed, s"collapse seed=$seed")
+    }
+  }
+
+  // ---- Python float repr --------------------------------------------------
+
+  test("PyRepr matches CPython repr formatting") {
+    assert(PyRepr.repr(12789965.0) == "12789965.0")
+    assert(PyRepr.repr(15276538.724818021) == "15276538.724818021")
+    assert(PyRepr.repr(2.8324735759893223) == "2.8324735759893223")
+    assert(PyRepr.repr(0.0) == "0.0")
+    assert(PyRepr.repr(-3.672241156379245) == "-3.672241156379245")
+    assert(PyRepr.repr(1e16) == "1e+16")
+    assert(PyRepr.repr(9999999999999998.0) == "9999999999999998.0")
+    assert(PyRepr.repr(1e-4) == "0.0001")
+    assert(PyRepr.repr(1e-5) == "1e-05")
+    assert(PyRepr.repr(1.0696e7) == "10696000.0")
+    assert(PyRepr.repr(100.0) == "100.0")
+    // round-trip property over a seeded mix of magnitudes
+    val rnd = new scala.util.Random(7)
+    (1 to 2000).foreach { _ =>
+      val d = (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(24) - 8)
+      assert(PyRepr.repr(d).toDouble == d, s"round-trip $d")
+    }
+  }
+}
