@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType}
 
@@ -13,13 +13,16 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * array per row and folds through boxed lambdas. Math is the same
   * left-to-right double accumulation (dot / (sqrt(na)·sqrt(nb))), so
   * results are bit-identical to the HOF version and round-6 stable against
-  * DuckDB's list_cosine_similarity.
+  * DuckDB's list_cosine_similarity. Ragged pairs yield null, exactly like
+  * the HOF twin (zip_with null-pads, null propagates through the fold).
+  * Generates code (null-aware; no CodegenFallback).
   */
-case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // null is also produced for length-mismatched inputs
+  override def nullable: Boolean = true
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
     copy(left = l, right = r)
@@ -27,10 +30,24 @@ case class CosineSim(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else Double.box(compute(x, y))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("cosineSim", this, classOf[CosineSim].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $self.compute($a, $b);
+         |}
+       """.stripMargin)
+  }
+
+  def compute(x: ArrayData, y: ArrayData): Double = {
     val n = x.numElements()
-    // ragged pair → null, matching the HOF twin (zip_with null-pads the
-    // shorter array and the null propagates through the fold)
-    if (n != y.numElements()) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0

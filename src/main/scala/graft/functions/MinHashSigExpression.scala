@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
@@ -10,10 +10,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   *
   * Replaces K separate `array_min(transform(...))` higher-order traversals
   * with a single loop applying all K affine transforms per element.
-  * Integer math — values identical to the HOF formulation.
+  * Integer math — values identical to the HOF formulation. Generates code.
   */
 case class MinHashSig(child: Expression, coefA: Seq[Long], coefB: Seq[Long], prime: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -24,8 +24,15 @@ case class MinHashSig(child: Expression, coefA: Seq[Long], coefB: Seq[Long], pri
   private lazy val as = coefA.toArray
   private lazy val bs = coefB.toArray
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("minHashSig", this, classOf[MinHashSig].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val k = as.length
     val mins = Array.fill(k)(Long.MaxValue)

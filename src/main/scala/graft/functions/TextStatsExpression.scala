@@ -3,8 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -30,9 +29,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * UTF-8 byte facts used: '\n' and all \s/alnum/control bytes are ASCII and
   * never appear inside multi-byte sequences; U+FFFD is EF BF BD; codepoint
   * count = count of non-continuation bytes ((b & 0xC0) != 0x80).
+  *
+  * Generates code (no CodegenFallback): the projection that computes the
+  * metrics stays a direct typed call inside whole-stage codegen instead of
+  * an eval() round-trip through a staged InternalRow.
   */
-case class TextStats(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class TextStats(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = TextStats.schema
   override def nullIntolerant: Boolean = true
@@ -40,8 +42,18 @@ case class TextStats(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): TextStats =
     copy(child = newChild)
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String]
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("textStats", this, classOf[TextStats].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  /** The one implementation both eval paths share (public: called from
+    * generated code).
+    */
+  def compute(s: UTF8String): InternalRow = {
     val bytes = s.getBytes // may copy once; all scanning is on this array
     val n = bytes.length
 

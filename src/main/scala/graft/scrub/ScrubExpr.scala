@@ -2,17 +2,17 @@ package graft.scrub
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native expression form of the ordered scrub chain: one
   * UTF8String→String conversion per row, compiled patterns, literal
   * indexOf guards — executes [[Scrub.scrubString]] verbatim, so engine and
-  * oracle share one implementation (byte-stability for free).
+  * oracle share one implementation (byte-stability for free). Generates
+  * code (a direct call inside whole-stage codegen, no eval() boxing).
   */
-case class ScrubExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+case class ScrubExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
@@ -21,7 +21,15 @@ case class ScrubExpr(child: Expression)
     copy(child = newChild)
 
   override def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(Scrub.scrubString(input.asInstanceOf[UTF8String].toString))
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("scrubExpr", this, classOf[ScrubExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  def compute(s: UTF8String): UTF8String =
+    UTF8String.fromString(Scrub.scrubString(s.toString))
 }
 
 object ScrubExpr {
