@@ -55,6 +55,7 @@ object SparkEntry {
     "q37_national_csv"    -> (CsvQueries.q37NationalCsv _),
     "q38_str2frame"       -> (CsvQueries.q38Str2frame _),
     "q39_five_year"       -> (CsvQueries.q39FiveYearInternal _),
+    "q40_exact_dedup_sha" -> (PipelineQueries.q40ExactDedupSha _),
     // flagship pipeline (not SQL-expressible: broadcast-model stages) —
     // driver records rows-only checks for these two.
     "q30_quality_filter"  -> (DocumentsAdapter.qualityFilterQuery _),
@@ -92,5 +93,7 @@ object SparkEntry {
     "q37_national_csv"    -> CsvSql.q37NationalCsv,
     "q38_str2frame"       -> CsvSql.q38Str2frame,
     "q39_five_year"       -> CsvSql.q39FiveYearInternal,
+    // sha-keyed dedup groups exactly as content-keyed (collision-free key)
+    "q40_exact_dedup_sha" -> PipelineSql.q20ExactDedup,
   )
 }

@@ -69,15 +69,18 @@ object Ann {
     sig
   }
 
-  /** LSH ANN: 16-bit hyperplane signatures, 4 bands × 4 bits candidate
-    * blocking, exact cosine re-rank of candidates, top-k per query.
+  /** LSH ANN: nBits hyperplane signatures, `bands` bands × nBits/bands bits
+    * candidate blocking, exact cosine re-rank of candidates, top-k per
+    * query. More bits per band → fewer, higher-precision candidates; more
+    * bands → higher recall (a pair at angle θ shares some band with
+    * probability 1 − (1 − (1 − θ/π)^(nBits/bands))^bands).
     */
   def lshTopK(queries: DataFrame, candidates: DataFrame,
-      idCol: String, vecCol: String, k: Int, dim: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, dim: Int,
+      nBits: Int = 16, bands: Int = 4): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
-    val nBits = 16
-    val bands = 4
+    require(nBits % bands == 0 && nBits <= 30, s"nBits=$nBits, bands=$bands")
     val bitsPerBand = nBits / bands
     val bc = spark.sparkContext.broadcast(planes(dim, nBits))
 

@@ -6,17 +6,29 @@ import org.apache.spark.sql.functions._
 /** Deduplication operators for training-data pipelines: exact, word-shingle
   * Jaccard, MinHash+LSH, SimHash. All distributed, no driver-side loops.
   *
-  * Scale notes (100 TB): exact dedup should group on `sha2(content, 256)`
-  * (fixed-width shuffle key) rather than raw content — the content-keyed
-  * variant here exists only so the DuckDB oracle can replicate it literally.
-  * LSH candidate generation shuffles (band, signature) pairs, so the shuffle
-  * volume is O(docs · bands), independent of pairwise O(n²).
+  * Scale notes (100 TB): [[exactDedupBySha]] is the production path — the
+  * shuffle key is a fixed-width digest, not the full content bytes; the
+  * content-keyed [[exactDedup]] exists so the DuckDB oracle can replicate
+  * it literally. LSH candidate generation shuffles (band, signature)
+  * pairs, so the shuffle volume is O(docs · bands), independent of
+  * pairwise O(n²); run [[exactDedupBySha]] first (or use
+  * [[lshNearDupPairsDistinct]]) so identical-content clusters collapse to
+  * one representative instead of flooding every band bucket quadratically.
   */
 object Dedup {
 
   /** Exact dedup: one survivor (min id) per identical key. */
   def exactDedup(df: DataFrame, keyCol: String, idCol: String): DataFrame =
     df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dups"))
+
+  /** Exact dedup keyed on sha2-256 of the content: the 100 TB shape — a
+    * 32-byte shuffle key regardless of document size, same survivor set as
+    * [[exactDedup]] (collision probability ~2⁻¹²⁸ is below any hardware
+    * error rate).
+    */
+  def exactDedupBySha(df: DataFrame, contentCol: String, idCol: String): DataFrame =
+    df.groupBy(sha2(col(contentCol).cast("binary"), 256).as("content_sha"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dups"))
 
   /** Distinct word n-gram shingles per row: (id, blockCols..., shingle).
@@ -86,13 +98,31 @@ object Dedup {
     val cands = a.join(b, blockCols :+ "shingle")
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    val sets = sh.groupBy(col(idCol)).agg(collect_set(col("shingle")).as("ss"))
-    cands
-      .join(sets.select(col(idCol).as("a_id"), col("ss").as("sa")), "a_id")
-      .join(sets.select(col(idCol).as("b_id"), col("ss").as("sb")), "b_id")
-      .withColumn("j", round(
-        size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb"))), 6))
+    verifyJaccard(cands, sh, idCol, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs by intersection
+    * COUNTING on candidate-restricted shingle rows — never materializes a
+    * document's full shingle set in one row (a `collect_set` per document
+    * caps out on large documents and ships every set through the shuffle).
+    * Join volume is |cands| · avg-shingles, bounded by the candidate count,
+    * and every stage is a plain hash join / hash aggregate.
+    */
+  private def verifyJaccard(cands: DataFrame, sh: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val aSh = sh.select(col(idCol).as("a_id"), col("shingle"))
+    val bSh = sh.select(col(idCol).as("b_id"), col("shingle"))
+    val inter = cands
+      .join(aSh, "a_id")                 // (a, b, shingle of a)
+      .join(bSh, Seq("b_id", "shingle")) // keep shingles present in b too
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))    // sh is distinct per (id, shingle)
+    inter
+      .join(sizes.select(col(idCol).as("a_id"), col("n_sh").as("na")), "a_id")
+      .join(sizes.select(col(idCol).as("b_id"), col("n_sh").as("nb")), "b_id")
+      .withColumn("j", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 6))
       .filter(col("j") >= threshold)
       .select(col("a_id"), col("b_id"), col("j"))
   }
@@ -101,59 +131,81 @@ object Dedup {
 
   val MinHashK = 16
   val Bands = 4
-  val RowsPerBand: Int = MinHashK / Bands
   // 31-bit Mersenne prime: affine products stay < 2^62, so the transform is
   // overflow-free under ANSI mode (Spark 4 default) in pure column math.
   private val MinHashPrime = 2147483647L
 
-  /** Deterministic affine coefficients for the K minhash functions. */
-  private val (coefA, coefB): (Array[Long], Array[Long]) = {
+  /** Deterministic affine coefficients for K minhash functions — for any K
+    * the leading 16 match the round-1 fixed tables (same seed, same draw
+    * order), so default-parameter results are stable across versions.
+    */
+  def minhashCoefficients(k: Int): (Seq[Long], Seq[Long]) = {
     val r = new scala.util.Random(0x5eed)
-    (Array.fill(MinHashK)(math.abs(r.nextLong()) % (MinHashPrime - 1) + 1),
-      Array.fill(MinHashK)(math.abs(r.nextLong()) % MinHashPrime))
+    (Seq.fill(k)(math.abs(r.nextLong()) % (MinHashPrime - 1) + 1),
+      Seq.fill(k)(math.abs(r.nextLong()) % MinHashPrime))
   }
 
-  /** (id, sig: array<long>[K]) — one base xxhash64 per shingle reduced to
-    * the 31-bit domain, then all K affine minhashes in ONE native-expression
+  /** (id, sig: array<long>[k]) — one base xxhash64 per shingle reduced to
+    * the 31-bit domain, then all k affine minhashes in ONE native-expression
     * pass ([[graft.functions.MinHashSig]]).
+    *
+    * k and bands set the S-curve: a pair with Jaccard j collides in some
+    * band with probability 1 − (1 − j^(k/bands))^bands; the (16, 4) default
+    * targets t ≈ 0.9, (32, 8) is a lower-threshold/higher-recall setting.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3): DataFrame = {
+      n: Int = 3, k: Int = MinHashK): DataFrame = {
+    val (coefA, coefB) = minhashCoefficients(k)
     val sh = shingles(df, idCol, textCol, n)
       .groupBy(col(idCol))
       .agg(collect_list(pmod(xxhash64(col("shingle")), lit(MinHashPrime))).as("hs"))
     sh.select(col(idCol),
-      graft.functions.MinHashSig.col(col("hs"), coefA.toSeq, coefB.toSeq, MinHashPrime).as("sig"))
+      graft.functions.MinHashSig.col(col("hs"), coefA, coefB, MinHashPrime).as("sig"))
   }
 
   /** LSH candidate pairs: equal band-signature in any band, then exact
-    * Jaccard verification of candidates only.
+    * Jaccard verification (intersection counting, candidate-restricted) —
+    * never a full shingle set in one row.
     */
   def lshNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sig = minhashSignatures(df, idCol, textCol, n)
+      n: Int = 3, threshold: Double = 0.8,
+      k: Int = MinHashK, bands: Int = Bands): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val rowsPerBand = k / bands
+    val sig = minhashSignatures(df, idCol, textCol, n, k)
     val banded = sig.select(
       col(idCol),
-      explode(array((0 until Bands).map { b =>
+      explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)).as("bsig"))
+          xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bsig"))
       }: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bsig"))
     val cands = banded.as("x").join(banded.as("y"), Seq("band", "bsig"))
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
       .distinct()
-    // exact verify: jaccard over distinct shingle sets of candidates only
-    val sets = shingles(df, idCol, textCol, n)
-      .groupBy(col(idCol)).agg(collect_set(col("shingle")).as("ss"))
-    cands
-      .join(sets.select(col(idCol).as("a_id"), col("ss").as("sa")), "a_id")
-      .join(sets.select(col(idCol).as("b_id"), col("ss").as("sb")), "b_id")
-      .withColumn("j", round(
-        size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb"))), 6))
-      .filter(col("j") >= threshold)
-      .select(col("a_id"), col("b_id"), col("j"))
+    verifyJaccard(cands, shingles(df, idCol, textCol, n), idCol, threshold)
+  }
+
+  /** The 100 TB composition: collapse identical texts to their min-id
+    * representative FIRST (sha-keyed, like [[exactDedupBySha]]), then run
+    * MinHash LSH among representatives only. Identical-content clusters —
+    * which share every band signature and would otherwise turn each band
+    * bucket into a quadratic hot key — contribute one row each; their
+    * members are already covered by exact dedup. Pairs are therefore
+    * between representatives (near-duplicate CLASSES, not raw id pairs).
+    */
+  def lshNearDupPairsDistinct(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      k: Int = MinHashK, bands: Int = Bands): DataFrame = {
+    val bySha = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_sha")).orderBy(col(idCol).asc)
+    val reps = df
+      .withColumn("_sha", sha2(col(textCol).cast("binary"), 256))
+      .withColumn("_rn", row_number().over(bySha))
+      .filter(col("_rn") === 1)
+      .drop("_sha", "_rn")
+    lshNearDupPairs(reps, idCol, textCol, n, threshold, k, bands)
   }
 
   // ---- SimHash -----------------------------------------------------------

@@ -20,6 +20,15 @@ object PipelineQueries {
       .select(col("keep_id"), col("dups"))
       .orderBy("keep_id")
 
+  /** Exact dedup keyed on sha2(content) — identical survivor set to q20
+    * with a fixed-width shuffle key (the 100 TB shape), so the q20 oracle
+    * checks it value-for-value.
+    */
+  def q40ExactDedupSha(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedupBySha(Tables.events(s, dir), "props", "event_id")
+      .select(col("keep_id"), col("dups"))
+      .orderBy("keep_id")
+
   /** MinHash+LSH near-dup pairs on documents (rows-only; ground truth =
     * q23's exact Jaccard).
     */

@@ -28,6 +28,54 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(recall >= 0.8)
   }
 
+  test("sha-keyed exact dedup returns the content-keyed survivor set") {
+    val events = Tables.events(spark, dir)
+    val byContent = Dedup.exactDedup(events, "props", "event_id")
+      .select("keep_id", "dups")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bySha = Dedup.exactDedupBySha(events, "props", "event_id")
+      .select("keep_id", "dups")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bySha == byContent)
+  }
+
+  test("minhash S-curve: wider banding (k=32, b=8) has recall >= the (16, 4) default") {
+    val docs = Tables.documents(spark, dir)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", Seq.empty, 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(k: Int, bands: Int): Double = {
+      val got = Dedup.lshNearDupPairs(docs, "doc_id", "text", 3, 0.9, k, bands)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.subsetOf(exact), s"(k=$k,b=$bands) emitted a sub-threshold pair")
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val r16 = recallOf(16, 4)
+    val r32 = recallOf(32, 8)
+    info(s"recall(16,4)=$r16 recall(32,8)=$r32")
+    // same rows-per-band (r=4), double the bands: collision probability
+    // 1-(1-j^4)^b is monotone in b, so recall must not drop
+    assert(r32 >= r16)
+    // signatures really carry k values
+    assert(Dedup.minhashSignatures(docs, "doc_id", "text", 3, 32)
+      .select(size(col("sig"))).collect().forall(_.getInt(0) == 32))
+  }
+
+  test("distinct-representative LSH equals plain LSH on duplicate-free input and ignores clones") {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir).select("doc_id", "text")
+    // plant 40 exact clones of doc 1 at high ids: same text, new ids
+    val clone = base.filter(col("doc_id") === 1).select(col("text")).collect()(0).getString(0)
+    val clones = (0 until 40).map(i => (100000L + i, clone))
+    val withClones = base.unionByName(clones.toDF("doc_id", "text"))
+    val plain = Dedup.lshNearDupPairs(base, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val dedup = Dedup.lshNearDupPairsDistinct(withClones, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // representatives of the clone group = doc 1 itself (min id), so the
+    // pair set over representatives equals the duplicate-free run exactly
+    assert(dedup == plain)
+  }
+
   test("prefix-filtered similarity join returns exactly the naive join's pairs") {
     val docs = Tables.documents(spark, dir)
     for (t <- Seq(0.5, 0.8, 0.9)) {
