@@ -94,12 +94,20 @@ object PipelineQueries {
     TextAnalysis.fingerprints(Tables.documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** Media table size tracks the SF dir (4 media rows per document row —
+    * parquet-metadata count, no scan), so q33/q35 timings scale with the
+    * benchmark's data size like every other query; content stays synthetic
+    * because the driver testdata carries no binary payloads.
+    */
+  private def mediaRows(s: SparkSession, dir: String): Long =
+    Tables.documents(s, dir).count() * 4
+
   /** Multimodal plumbing: synthetic binary media table → batched feature
     * extraction (stub decode) → per-kind aggregates (rows-only).
     */
   def q33MediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.Multimodal
-    val feats = Multimodal.extractFeatures(Multimodal.generate(s, 2000, 42L, 8))
+    val feats = Multimodal.extractFeatures(Multimodal.generate(s, mediaRows(s, dir), 42L, 8))
     feats.toDF()
       .withColumn("f0", element_at(col("feature"), 1))
       .groupBy(col("kind"))
@@ -112,7 +120,7 @@ object PipelineQueries {
   /** Multimodal frame sampling from video metadata (stub; rows-only). */
   def q35FrameSample(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.Multimodal
-    val frames = Multimodal.frameSample(Multimodal.generate(s, 2000, 42L, 8), everyMs = 5000)
+    val frames = Multimodal.frameSample(Multimodal.generate(s, mediaRows(s, dir), 42L, 8), everyMs = 5000)
     frames.toDF("media_id", "frame")
       .agg(countDistinct(col("media_id")).as("n_videos"), count(lit(1)).as("n_frames"))
   }

@@ -34,12 +34,22 @@ object DocumentsAdapter {
     // (it stays active for the code corpus, where langid is accurate).
     langMargin = Double.MaxValue)
 
+  /** One pipeline run per (session, input dir), shared by the query views
+    * below: q30 and q31 are two projections of the SAME QualityResult, so
+    * the models are trained once per input instead of once per query
+    * (training twice for one logical run is pure waste at any scale).
+    */
+  private val runs = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), QualityResult]
+
+  private def sharedRun(s: SparkSession, dir: String): QualityResult =
+    runs.getOrElseUpdate((s, dir),
+      QualityFilter.run(fromDocuments(Tables.documents(s, dir)), docConfig))
+
   /** Flagship query: full quality-filter over the documents table. Output is
     * fully deterministic (rounded scores, sorted) — rows-only driver check.
     */
   def qualityFilterQuery(s: SparkSession, dir: String): DataFrame = {
-    val corpus = fromDocuments(Tables.documents(s, dir))
-    val res = QualityFilter.run(corpus, docConfig)
+    val res = sharedRun(s, dir)
     res.labeled.select(
       col("path"), col("lang"), col("lang_pred"),
       round(col("ppl"), 4).as("ppl"),
@@ -49,9 +59,7 @@ object DocumentsAdapter {
       .orderBy("path")
   }
 
-  /** Rule-hit metrics table for the same run. */
-  def metricsQuery(s: SparkSession, dir: String): DataFrame = {
-    val corpus = fromDocuments(Tables.documents(s, dir))
-    QualityFilter.run(corpus, docConfig).metrics.orderBy("lang", "metric")
-  }
+  /** Rule-hit metrics table for the same (shared) run. */
+  def metricsQuery(s: SparkSession, dir: String): DataFrame =
+    sharedRun(s, dir).metrics.orderBy("lang", "metric")
 }
