@@ -137,6 +137,116 @@ object RefReports {
     out.toSeq.filterNot(_.endsWith("0"))
   }
 
+  // ---- IQR analysis family (EP1: W2 + P8 + A3/A4 + W7) --------------------
+
+  /** Exact-percentile linear interpolation: lower·(hi−pos) + higher·(pos−lo)
+    * — the formula Spark's Percentile uses (bit-verified in
+    * QualityFilterSpec), same breakpoints as np.percentile.
+    */
+  def percentile(sorted: IndexedSeq[Double], q: Double): Double = {
+    val pos = q / 100.0 * (sorted.length - 1)
+    val lo = math.floor(pos).toInt
+    val hi = math.ceil(pos).toInt
+    if (lo == hi) sorted(lo)
+    else sorted(lo) * (hi - pos) + sorted(hi) * (pos - lo)
+  }
+
+  /** W2 rate of change, faithful to helperFunctions.py:8-21: consecutive
+    * ROWS in the given order (the census/national frames arrive in FILE
+    * order, unsorted), divides by the NEXT value and the negative year gap.
+    */
+  def roc(rows: Seq[(Int, Long)]): Seq[(Int, Double)] =
+    rows.sliding(2).collect { case Seq((y0, p0), (y1, p1)) =>
+      (y0, (p1 - p0).toDouble / p1 * 100 / (y0 - y1))
+    }.toSeq
+
+  /** P8/J1 year probe: dict keyed by year (later rows overwrite), probed
+    * over [startYear, endYear) in order (src/app.py:1174-1188).
+    */
+  def yearProbe(series: Seq[(Int, Double)], startYear: Int, endYear: Int): Seq[Double] = {
+    val dict = mutable.HashMap.empty[Int, Double]
+    series.foreach { case (y, v) => dict(y) = v }
+    (startYear until endYear).flatMap(dict.get)
+  }
+
+  /** Quartile-halving sublists (src/app.py:1193-1202): guards only for
+    * FAO/WOAH, percentile INPUTS for Census/National.
+    */
+  def quartileSublists(sorted: IndexedSeq[Double]): (IndexedSeq[Double], IndexedSeq[Double]) = {
+    val firstHalf = sorted.take(sorted.length / 2)
+    val secondHalf = sorted.drop(sorted.length / 2)
+    (firstHalf.take(firstHalf.length / 2), secondHalf.take(secondHalf.length / 2))
+  }
+
+  case class Fences(q1: Double, q3: Double, iqr: Double, lo: Double, hi: Double, active: Boolean)
+
+  /** FAO/WOAH fences: q1/q3 from the FULL sorted list; the halving sublists
+    * gate only whether iqr is 0 (fences still computed!)
+    * (src/app.py:1205-1211, 1325-1331).
+    */
+  def fencesFull(values: Seq[Double]): Fences = {
+    // reference defect: np.percentile([]) raises unguarded
+    // (src/app.py:1205-1206) — per SURVEY §3 the parity contract treats
+    // crash paths as "rule disabled", not as behavior to replicate
+    if (values.isEmpty) return Fences(0, 0, -1, 0, 0, active = false)
+    val s = values.sorted.toIndexedSeq
+    val (fq, tq) = quartileSublists(s)
+    val q1 = percentile(s, 25)
+    val q3 = percentile(s, 75)
+    val iqr = if (fq.nonEmpty && tq.nonEmpty) q3 - q1 else 0.0
+    Fences(q1, q3, iqr, q1 - 1.5 * iqr, q3 + 1.5 * iqr, active = true)
+  }
+
+  /** Census/National fences — the EP1 asymmetry (src/app.py:1264-1321):
+    * q1 = percentile(firstQuartile SUBLIST, 25), q3 = percentile(
+    * thirdQuartile SUBLIST, 75); empty sublists → iqr −1 → rule disabled.
+    */
+  def fencesSublist(values: Seq[Double]): Fences = {
+    val s = values.sorted.toIndexedSeq
+    val (fq, tq) = quartileSublists(s)
+    if (fq.isEmpty || tq.isEmpty) Fences(0, 0, -1, 0, 0, active = false)
+    else {
+      val q1 = percentile(fq, 25)
+      val q3 = percentile(tq, 75)
+      val iqr = q3 - q1
+      Fences(q1, q3, iqr, q1 - 1.5 * iqr, q3 + 1.5 * iqr, active = true)
+    }
+  }
+
+  /** The pop-during-iterate removal (src/app.py:1350-1377): Python's list
+    * iterator cursor and the hand-kept `index` advance together, so each
+    * pop shifts the list left under the cursor and the element AFTER every
+    * removed outlier is silently skipped (it is never examined, outlier or
+    * not). The engine's clean W7 filter examines every element; this quirk
+    * lives only here, in the parity oracle.
+    */
+  def removeOutliersQuirk(values: Seq[Double], lo: Double, hi: Double): Seq[Double] = {
+    val buf = mutable.ArrayBuffer(values: _*)
+    var k = 0
+    while (k < buf.length) {
+      val elem = buf(k)
+      if (elem > hi || elem < lo) buf.remove(k)
+      k += 1
+    }
+    buf.toSeq
+  }
+
+  /** IQR report lines "No date,SRC,value" (src/app.py:1380-1413): values
+    * outside the fences, with inactive census/national rules skipped.
+    */
+  def iqrReportLines(faoV: Seq[Double], woahV: Seq[Double],
+      csvV: Seq[Double], natV: Seq[Double]): Seq[String] = {
+    val fFao = fencesFull(faoV)
+    val fWoah = fencesFull(woahV)
+    val fCsv = fencesSublist(csvV)
+    val fNat = fencesSublist(natV)
+    def rows(vs: Seq[Double], f: Fences, label: String): Seq[String] =
+      if (!f.active) Seq.empty
+      else vs.collect { case v if v > f.hi || v < f.lo => s"No date,$label,${PyRepr.repr(v)}" }
+    rows(faoV, fFao, "FAO") ++ rows(woahV, fWoah, "WOAH") ++
+      rows(csvV, fCsv, "CSV") ++ rows(natV, fNat, "National")
+  }
+
   // ---- polynomial regression family (M1/W8/W9) ----------------------------
 
   /** sklearn-equivalent fit: center the Vandermonde columns and y, solve by

@@ -187,6 +187,54 @@ class GoldenParitySpec extends AnyFunSuite {
     }
   }
 
+  // ---- EP1 IQR analysis family (W2 + P8 + A3/A4 + W7 quirks) --------------
+
+  test("EP1: oracle ROC == Spark rateOfChange on year-sorted series") {
+    import spark.implicits._
+    val rows = Seq((2000, 100L), (2001, 110L), (2003, 95L), (2004, 120L), (2005, 80L))
+    val oracle = RefReports.roc(rows).map { case (y, v) => (y, math.rint(v * 1e9) / 1e9) }
+    val sparkRoc = graft.operators.Series.rateOfChange(
+      rows.toDF("year", "population"), Seq.empty, "year", "population", "roc")
+      .select("year", "roc").collect()
+      .map(r => (r.getInt(0), math.rint(r.getDouble(1) * 1e9) / 1e9)).toSeq.sortBy(_._1)
+    assert(oracle == sparkRoc)
+  }
+
+  test("EP1: census/national fences use quartile-SUBLIST percentiles (asymmetry)") {
+    val vs = (1 to 16).map(_.toDouble)
+    // halves: [1..8],[9..16]; sublists: [1..4],[9..12]
+    val f = RefReports.fencesSublist(vs)
+    assert(f.active)
+    assert(f.q1 == RefReports.percentile((1 to 4).map(_.toDouble).toIndexedSeq, 25))
+    assert(f.q3 == RefReports.percentile((9 to 12).map(_.toDouble).toIndexedSeq, 75))
+    // full-list path differs (the FAO/WOAH fences)
+    val g = RefReports.fencesFull(vs)
+    assert(g.q1 != f.q1 && g.q3 != f.q3)
+    // tiny lists (sublists empty) disable the census rule but not FAO's
+    assert(!RefReports.fencesSublist(Seq(1.0, 2.0, 3.0)).active)
+    assert(RefReports.fencesFull(Seq(1.0, 2.0, 3.0)).iqr == 0.0)
+  }
+
+  test("EP1: pop-during-iterate removal skips the element after each outlier") {
+    // fences (0, 10): 99 and 98 are outliers; clean filtering would also
+    // examine the 7 that follows 99 — the reference skips it unexamined
+    val out = RefReports.removeOutliersQuirk(Seq(1.0, 99.0, 98.0, 7.0, 2.0), 0.0, 10.0)
+    assert(out == Seq(1.0, 98.0, 7.0, 2.0)) // 98 survived: skipped after popping 99
+  }
+
+  test("EP1: oracle IQR report == Spark clean W7 on the quirk-free path") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val vals = (1 to 200).map(_ => math.rint(rnd.nextGaussian() * 1000) / 100) ++
+      Seq(250.0, -250.0) // planted outliers
+    val lines = RefReports.iqrReportLines(vals, Seq.empty, Seq.empty, Seq.empty)
+    val oracleVals = lines.map(_.split(",")(2).toDouble).sorted
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "value")
+    val sparkVals = graft.operators.Series.iqrOutliers(df, Seq.empty, "value")
+      .select("value").collect().map(_.getDouble(0)).sorted.toSeq
+    assert(oracleVals.nonEmpty && oracleVals == sparkVals)
+  }
+
   // ---- Python float repr --------------------------------------------------
 
   test("PyRepr matches CPython repr formatting") {
