@@ -56,6 +56,8 @@ object SparkEntry {
     "q38_str2frame"       -> (CsvQueries.q38Str2frame _),
     "q39_five_year"       -> (CsvQueries.q39FiveYearInternal _),
     "q40_exact_dedup_sha" -> (PipelineQueries.q40ExactDedupSha _),
+    "q41_five_year_ext"   -> (CsvQueries.q41FiveYearExternal _),
+    "q42_ann_ivf"         -> (PipelineQueries.q42AnnIvf _),
     // flagship pipeline (not SQL-expressible: broadcast-model stages) —
     // driver records rows-only checks for these two.
     "q30_quality_filter"  -> (DocumentsAdapter.qualityFilterQuery _),
@@ -95,5 +97,6 @@ object SparkEntry {
     "q39_five_year"       -> CsvSql.q39FiveYearInternal,
     // sha-keyed dedup groups exactly as content-keyed (collision-free key)
     "q40_exact_dedup_sha" -> PipelineSql.q20ExactDedup,
+    "q41_five_year_ext"   -> CsvSql.q41FiveYearExternal,
   )
 }

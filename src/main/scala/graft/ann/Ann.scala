@@ -69,6 +69,116 @@ object Ann {
     sig
   }
 
+  // ---- IVF (inverted file) -----------------------------------------------
+
+  /** Deterministic coarse k-means for the IVF quantizer: seeded by the
+    * nlist lowest-id vectors, fixed iteration count, and decimal-exact
+    * per-dimension sums for the centroid update — so the trained centroids
+    * (and therefore every IVF search result) are identical at any
+    * partitioning. Centroids are tiny (nlist × dim) and live on the driver
+    * between iterations, exactly like the pipeline's other bounded model
+    * states.
+    */
+  def trainIvfCentroids(candidates: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 5): Array[Array[Float]] = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val c = candidates
+      .select(col(idCol).cast("long").as("n_id"), col(vecCol).as("cv"))
+      .as[(Long, Array[Float])]
+    var centroids = c.orderBy(col("n_id").asc).limit(nlist)
+      .collect().map(_._2)
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assigned = c.mapPartitions { rows =>
+        val cs = bc.value
+        rows.map { case (_, v) => (nearestCell(v, cs), v) }
+      }.toDF("cell", "cv")
+      // decimal-exact per-dimension means: order-independent floats
+      val stats = assigned
+        .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(graft.core.Exact.dsum(col("x"), 6).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone())
+      stats.foreach { r =>
+        val cell = r.getInt(0)
+        next(cell)(r.getInt(1)) = (r.getDouble(2) / r.getLong(3)).toFloat
+      }
+      centroids = next // cells with no members keep their previous centroid
+      it += 1
+    }
+    centroids
+  }
+
+  private def nearestCell(v: Array[Float], cs: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < cs.length) {
+      val sim = cosineLocal(v, cs(c))
+      if (sim > bestSim) { bestSim = sim; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0) 0.0 else dot / d
+  }
+
+  private def topCells(v: Array[Float], cs: Array[Array[Float]], nprobe: Int): Seq[Int] =
+    cs.indices
+      .map(c => (c, cosineLocal(v, cs(c))))
+      .sortBy { case (c, sim) => (-sim, c) } // deterministic tie-break
+      .take(nprobe).map(_._1)
+
+  /** IVF ANN: candidates are assigned to their nearest coarse centroid
+    * (one broadcast-model pass); each query probes its `nprobe` nearest
+    * cells and is exactly re-ranked against those cells only. The search is
+    * an equi-join on the cell id — shuffle O(n + q·nprobe·cell size), never
+    * the brute-force O(n·q) scan — the classic inverted-file trade of
+    * recall for candidate volume, complementary to [[lshTopK]] (IVF adapts
+    * to the data distribution; LSH needs no training pass).
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 5): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val centroids = trainIvfCentroids(candidates, idCol, vecCol, nlist, iters)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val cb = candidates
+      .select(col(idCol).cast("long").as("n_id"), col(vecCol).as("cv"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { rows =>
+        val cs = bc.value
+        rows.map { case (i, v) => (i, nearestCell(v, cs), v) }
+      }.toDF("n_id", "cell", "cv")
+    val qb = queries
+      .select(col(idCol).cast("long").as("q_id"), col(vecCol).as("qv"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (i, v) =>
+        topCells(v, bc.value, nprobe).map(c => (i, c, v))
+      }.toDF("q_id", "cell", "qv")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("simr").desc, col("n_id").asc)
+    qb.join(cb, "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("simr", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("n_id"), col("simr"))
+  }
+
   /** LSH ANN: nBits hyperplane signatures, `bands` bands × nBits/bands bits
     * candidate blocking, exact cosine re-rank of candidates, top-k per
     * query. More bits per band → fewer, higher-precision candidates; more

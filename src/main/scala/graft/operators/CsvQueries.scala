@@ -42,21 +42,32 @@ object CsvQueries {
       .orderBy("year")
   }
 
-  /** W3+W4 five-year internal drift report over census+national Canada
-    * cattle (all flagged rows; the reference's dict collapse is a sink bug
-    * covered by [[FiveYearReport.collapseLastWins]] + the golden spec).
-    */
-  def q39FiveYearInternal(s: SparkSession, dir: String): DataFrame = {
+  private def canadaCattle(s: SparkSession): DataFrame = {
     val census = CensusCsv.readCensus(s, CensusCanada)
       .withColumn("source", lit("Census"))
     val national = CensusCsv.readNational(s, NationalCanada)
       .withColumn("source", lit("National"))
-    val all = census.unionByName(national).filter(col("species") === "Cattle")
-    FiveYearReport.internal(all)
+    census.unionByName(national).filter(col("species") === "Cattle")
+  }
+
+  /** W3+W4 five-year internal drift report over census+national Canada
+    * cattle (all flagged rows; the reference's dict collapse is a sink bug
+    * covered by [[FiveYearReport.collapseLastWins]] + the golden spec).
+    */
+  def q39FiveYearInternal(s: SparkSession, dir: String): DataFrame =
+    FiveYearReport.internal(canadaCattle(s))
       .select(col("year"), col("source"),
         round(col("prev_pct"), 6).as("prev_pct"), round(col("pct"), 6).as("pct"))
       .orderBy("year", "source")
-  }
+
+  /** W5 five-year external consistency report (ordered one-directional
+    * source pairs) over the same table.
+    */
+  def q41FiveYearExternal(s: SparkSession, dir: String): DataFrame =
+    FiveYearReport.external(canadaCattle(s))
+      .select(col("year"), col("src_a"), round(col("pct_a"), 6).as("pct_a"),
+        col("src_b"), round(col("pct_b"), 6).as("pct_b"))
+      .orderBy("year", "src_a", "src_b")
 }
 
 object CsvSql {
@@ -80,8 +91,11 @@ object CsvSql {
       |                      (2002, 'Cattle', CAST(110 AS BIGINT), 'WOAH'))
       |  AS t(year, species, population, source) ORDER BY year""".stripMargin
 
-  val q39FiveYearInternal: String =
-    s"""WITH census AS (
+  /** Shared CTE chain: canonical rows → bounds → single-row-per-year
+    * bucket averages → zero-guarded %-changes per (source, bucket end).
+    */
+  private val PctGrid: String =
+    s"""census AS (
        |  SELECT year, species, population, 'Census' AS source FROM $CensusRead
        |), national AS (
        |  SELECT year, species, population, 'National' AS source FROM $NationalRead
@@ -111,7 +125,25 @@ object CsvSql {
        |    CASE WHEN pavg IS NULL THEN NULL WHEN pavg = 0 OR avg = 0 THEN 0.0
        |      ELSE (avg - pavg) / pavg * 100 END AS pct
        |  FROM pcts
-       |), withprev AS (
+       |)""".stripMargin
+
+  val q41FiveYearExternal: String =
+    s"""WITH $PctGrid,
+       |ranked AS (
+       |  SELECT source, e, pct,
+       |    CASE source WHEN 'FAOSTAT' THEN 0 WHEN 'WOAH' THEN 1
+       |      WHEN 'Census' THEN 2 ELSE 3 END AS prec
+       |  FROM pct2 WHERE pct IS NOT NULL
+       |)
+       |SELECT a.e AS year, a.source AS src_a, ROUND(a.pct, 6) AS pct_a,
+       |  b.source AS src_b, ROUND(b.pct, 6) AS pct_b
+       |FROM ranked a JOIN ranked b ON a.e = b.e AND a.prec < b.prec
+       |WHERE a.pct > b.pct + b.pct * 0.1 OR a.pct < b.pct - b.pct * 0.1
+       |ORDER BY year, src_a, src_b""".stripMargin
+
+  val q39FiveYearInternal: String =
+    s"""WITH $PctGrid,
+       |withprev AS (
        |  SELECT source, e, pct, LAG(pct) OVER (PARTITION BY source ORDER BY e) AS ppct
        |  FROM pct2 WHERE pct IS NOT NULL
        |)

@@ -79,6 +79,16 @@ object PipelineQueries {
       .orderBy("q_id", "rk")
   }
 
+  /** IVF ANN for the same query set (rows-only; recall vs q25 brute force
+    * asserted in the spec; deterministic — seeded init + decimal-exact
+    * centroid updates).
+    */
+  def q42AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Ann.ivfTopK(e.filter(col("vec_id") % 97 === 0), e, "vec_id", "embedding", 3)
+      .orderBy("q_id", "rk")
+  }
+
   /** Token/stopword quality metrics aggregated per lang. */
   def q28TextQuality(s: SparkSession, dir: String): DataFrame = {
     val d = TextAnalysis.withTokenMetrics(Tables.documents(s, dir))

@@ -123,6 +123,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("ANN IVF: nontrivial recall vs brute force, deterministic across partitionings") {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") % 97 === 0)
+    val brute = Ann.bruteForceTopK(q, e, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def run(parts: Int): Seq[(Long, Int, Long, Double)] =
+      Ann.ivfTopK(q.repartition(parts), e.repartition(parts), "vec_id", "embedding", 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sorted
+    val a = run(2)
+    val b = run(7)
+    assert(a == b, "IVF result depends on partitioning")
+    val ivf = a.map(t => (t._1, t._3)).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    info(s"IVF recall@3 = $recall (brute=${brute.size})")
+    assert(recall >= 0.3, "IVF recall collapsed")
+    assert(a.map(_._1).distinct.size == q.count())
+  }
+
   test("native CosineSim expression is bit-identical to the HOF formulation") {
     val e = Tables.embeddings(spark, dir).limit(200)
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"))
