@@ -3,8 +3,9 @@ package graft.streaming
 import graft.core.SourceFile
 import graft.functions.TextMetrics
 import graft.scrub.Scrub
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.{IntegerType, StructType}
 
 /** Structured Streaming surface of the engine.
@@ -42,6 +43,42 @@ object StreamingQualityFilter {
   def stream(spark: SparkSession, inputDir: String,
       cfg: graft.pipeline.QualityFilter.Config = graft.pipeline.QualityFilter.Config()): DataFrame =
     statelessStages(spark.readStream.schema(corpusSchema).parquet(inputDir), cfg)
+
+  /** Cumulative per-repo quality state. */
+  case class RepoState(files: Long, dropped: Long, quarantined: Boolean)
+
+  /** Per-batch per-repo quality event emitted by [[repoQuarantine]]. */
+  case class RepoEvent(repo: String, files: Long, dropped: Long,
+      drop_rate: Double, quarantined: Boolean)
+
+  /** Custom-state streaming operator (`flatMapGroupsWithState`): tracks the
+    * CUMULATIVE drop rate per repo across micro-batches and flags a repo as
+    * quarantined once it has seen ≥ minFiles files with a drop rate above
+    * maxDropRate — the guardrail a crawl pipeline wants (stop ingesting a
+    * repo whose content keeps failing the filter) and the stateful shape
+    * the north rule's streaming surface calls for. State is one struct per
+    * repo (bounded by |repos|); events are emitted per updated group per
+    * batch (Update mode), so downstream sinks see monotone counters.
+    */
+  def repoQuarantine(labeled: DataFrame, minFiles: Long = 10,
+      maxDropRate: Double = 0.5): Dataset[RepoEvent] = {
+    val spark = labeled.sparkSession
+    import spark.implicits._
+    labeled.select(col("repo"), col("keep")).as[(String, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (repo: String, rows: Iterator[(String, Boolean)], state: GroupState[RepoState]) =>
+          var s = state.getOption.getOrElse(RepoState(0L, 0L, quarantined = false))
+          rows.foreach { case (_, keep) =>
+            s = s.copy(files = s.files + 1, dropped = s.dropped + (if (keep) 0 else 1))
+          }
+          val rate = if (s.files == 0) 0.0 else s.dropped.toDouble / s.files
+          // quarantine latches: once flagged, a repo stays flagged
+          val quarantined = s.quarantined || (s.files >= minFiles && rate > maxDropRate)
+          state.update(s.copy(quarantined = quarantined))
+          Iterator.single(RepoEvent(repo, s.files, s.dropped, rate, quarantined))
+      }
+  }
 
   /** Windowed keep/drop rate over an event-time column, with watermark —
     * the monitoring aggregation of the streaming pipeline.

@@ -51,6 +51,34 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
       Set("window", "lang", "n_files", "n_kept"))
   }
 
+  test("stateful repoQuarantine carries state across micro-batches and latches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, Boolean)]
+    val events = StreamingQualityFilter.repoQuarantine(
+      in.toDF().toDF("repo", "keep"), minFiles = 4, maxDropRate = 0.5)
+    val q = events.toDF().writeStream.format("memory")
+      .queryName("quarantine").outputMode("update").start()
+
+    // batch 1: repo a = 3 drops / 4 files (rate .75 but latches only at >=4 files → flags)
+    //          repo b = 4 keeps (clean)
+    in.addData(Seq(("a", false), ("a", false), ("a", false), ("a", true),
+      ("b", true), ("b", true), ("b", true), ("b", true)): _*)
+    q.processAllAvailable()
+    // batch 2: repo a recovers a little (still latched), repo b takes 2 drops (rate 2/6 < .5)
+    in.addData(Seq(("a", true), ("a", true), ("b", false), ("b", false)): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("quarantine")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(4)))
+    val a = rows.filter(_._1 == "a").sortBy(_._2)
+    val b = rows.filter(_._1 == "b").sortBy(_._2)
+    assert(a.toSeq == Seq(("a", 4L, 3L, true), ("a", 6L, 3L, true))) // cumulative + latched
+    assert(b.toSeq == Seq(("b", 4L, 0L, false), ("b", 6L, 2L, false)))
+  }
+
   test("multimodal: batched stub decode is deterministic and batch-size independent") {
     val m = Multimodal.generate(spark, 500, 7L, 4)
     val f1 = Multimodal.extractFeatures(m, batchSize = 8).collect()
