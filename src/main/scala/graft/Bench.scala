@@ -134,8 +134,19 @@ object Bench {
     // (planning/codegen/commit, ~2-4 s) stops dominating the scaling ratio,
     // small enough to keep the 3-round bench reasonable
     val nFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "150000").toLong
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "4").toInt
     val work = Files.createTempDirectory("graft-bench-").toString
+
+    // Pre-flight: defer the start (bounded) until residual host load decays
+    // — the shared VM carries multi-minute load tails from whatever ran
+    // before the bench. This is start deferral only; every measurement is
+    // still taken and reported with its own telemetry.
+    val maxWait = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_WAIT_SEC", "300").toInt
+    val waitT0 = System.nanoTime()
+    while (loadavg1 > 3.0 && (System.nanoTime() - waitT0) / 1e9 < maxWait)
+      Thread.sleep(5000)
+    val waitedSec = (System.nanoTime() - waitT0) / 1e9
+    val loadAtStart = loadavg1
 
     // host ceiling probe at the start: what does raw CPU scaling look like
     // on this box right now, independent of Spark?
@@ -212,7 +223,7 @@ object Bench {
     def probeJson(m: Map[Int, Double]) =
       f"""{"t2_mops":${m(2)}%.0f,"t8_mops":${m(8)}%.0f,"t32_mops":${m(32)}%.0f}"""
     val json =
-      f"""{"metric":"qf_files_per_sec_local32","value":$tp32%.1f,"unit":"files/sec","queries":$qs,"sf":"$sfDir","qf":{"files":$nFiles,"rounds":$rounds,"local2_sec":$sec2%.2f,"local8_sec":$sec8%.2f,"local32_sec":$sec32%.2f,"local2_files_per_sec":$tp2%.1f,"local8_files_per_sec":$tp8%.1f,"local32_files_per_sec":$tp32%.1f,"median_local2_files_per_sec":$tpMed2%.1f,"median_local8_files_per_sec":$tpMed8%.1f,"median_local32_files_per_sec":$tpMed32%.1f,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"median_scaling_efficiency_2_to_8":$effMed28%.3f,"median_scaling_efficiency_8_to_32":$effMed832%.3f,"host_ceiling_2_to_8":$ceil28%.3f,"host_ceiling_8_to_32":$ceil832%.3f,"cpu_probe_start":${probeJson(probeStart)},"cpu_probe_end":${probeJson(probeEnd)},"samples":$sampleJson},"queries_total_sec":${queryTimes.map(_._2).sum}%.2f}"""
+      f"""{"metric":"qf_files_per_sec_local32","value":$tp32%.1f,"unit":"files/sec","queries":$qs,"sf":"$sfDir","qf":{"files":$nFiles,"rounds":$rounds,"local2_sec":$sec2%.2f,"local8_sec":$sec8%.2f,"local32_sec":$sec32%.2f,"local2_files_per_sec":$tp2%.1f,"local8_files_per_sec":$tp8%.1f,"local32_files_per_sec":$tp32%.1f,"median_local2_files_per_sec":$tpMed2%.1f,"median_local8_files_per_sec":$tpMed8%.1f,"median_local32_files_per_sec":$tpMed32%.1f,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"median_scaling_efficiency_2_to_8":$effMed28%.3f,"median_scaling_efficiency_8_to_32":$effMed832%.3f,"host_ceiling_2_to_8":$ceil28%.3f,"host_ceiling_8_to_32":$ceil832%.3f,"cpu_probe_start":${probeJson(probeStart)},"cpu_probe_end":${probeJson(probeEnd)},"preflight_wait_sec":$waitedSec%.0f,"load_at_start":$loadAtStart%.2f,"samples":$sampleJson},"queries_total_sec":${queryTimes.map(_._2).sum}%.2f}"""
     println(json)
 
     // best-effort BENCH.md update
