@@ -39,6 +39,31 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.read().count() == 80)
   }
 
+  test("racing writers never lose a committed snapshot (link(2) CAS, not rename)") {
+    // POSIX rename(2) silently replaces an existing target, so a move-based
+    // commit lets two writers both claim one version slot and the loser's
+    // manifest drops the winner's data dirs from `live`. The createLink
+    // publish must serialize them: run many concurrent appends and assert
+    // every writer's data survives in the final `live` set.
+    val t = SnapshotTable(spark, tmp())
+    val df = Corpus.generate(spark, 10, seed = 8, numParts = 1).toDF()
+    val keys = (0 until 12).map(i => s"writer-$i")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    try {
+      import scala.concurrent._
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val done = Future.sequence(keys.map(k => Future(t.append(df, k))))
+      Await.result(done, duration.Duration(120, "s"))
+    } finally pool.shutdown()
+    val snaps = t.snapshots()
+    assert(snaps.map(_.version) == (0L until 12L), "version slots must be dense and unique")
+    assert(snaps.map(_.commitKey).toSet == keys.toSet)
+    // every snapshot's added dirs are still live at the head — nothing lost
+    val live = snaps.last.live.toSet
+    assert(snaps.flatMap(_.added).forall(live.contains), "a racing writer's data was dropped")
+    assert(t.read().count() == 12 * 10)
+  }
+
   test("incremental runner processes each snapshot exactly once across reruns") {
     val in = SnapshotTable(spark, tmp())
     val out = SnapshotTable(spark, tmp())
