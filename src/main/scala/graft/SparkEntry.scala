@@ -58,6 +58,7 @@ object SparkEntry {
     "q40_exact_dedup_sha" -> (PipelineQueries.q40ExactDedupSha _),
     "q41_five_year_ext"   -> (CsvQueries.q41FiveYearExternal _),
     "q42_ann_ivf"         -> (PipelineQueries.q42AnnIvf _),
+    "q43_iqr_sublist"     -> (SeriesQueries.q43IqrSublist _),
     // flagship pipeline (not SQL-expressible: broadcast-model stages) —
     // driver records rows-only checks for these two.
     "q30_quality_filter"  -> (DocumentsAdapter.qualityFilterQuery _),
@@ -98,5 +99,6 @@ object SparkEntry {
     // sha-keyed dedup groups exactly as content-keyed (collision-free key)
     "q40_exact_dedup_sha" -> PipelineSql.q20ExactDedup,
     "q41_five_year_ext"   -> CsvSql.q41FiveYearExternal,
+    "q43_iqr_sublist"     -> SeriesSql.q43IqrSublist,
   )
 }

@@ -116,6 +116,36 @@ object SeriesQueries {
       .orderBy("p")
   }
 
+  /** W7 variant with the reference's census/national quartile-SUBLIST
+    * asymmetry (SURVEY.md §3 EP1, src/app.py:1264-1321): q1 is the 25th
+    * percentile of the first quarter of the sorted values, q3 the 75th of
+    * the third quarter — not of the full list. Emits per-group fences and
+    * outlier counts; value-exact vs the DuckDB oracle.
+    */
+  def q43IqrSublist(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    val ranked = events
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .withColumn("h", (col("n") / 2).cast("long")) // len(firstHalf) = n // 2
+    val fq = ranked.filter(col("rn") <= (col("h") / 2).cast("long"))
+      .groupBy(col("event_type")).agg(percentile(col("value"), lit(0.25)).as("q1"))
+    val tq = ranked.filter(col("rn") > col("h") &&
+        col("rn") <= col("h") + ((col("n") - col("h")) / 2).cast("long"))
+      .groupBy(col("event_type")).agg(percentile(col("value"), lit(0.75)).as("q3"))
+    val fences = fq.join(tq, "event_type")
+      .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
+      .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
+    events.join(broadcast(fences), "event_type")
+      .groupBy(col("event_type"), col("q1"), col("q3"), col("lo"), col("hi"))
+      .agg(sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+        .otherwise(0L)).as("n_out"))
+      .select(col("event_type"), round(col("q1"), 6).as("q1"), round(col("q3"), 6).as("q3"),
+        round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"), col("n_out"))
+      .orderBy("event_type")
+  }
+
   /** M1 degree-2 OLS (closed-form Cramer over exact moments). */
   def q19Polyfit2(s: SparkSession, dir: String): DataFrame = {
     val base = monthly(s, dir)
@@ -245,6 +275,29 @@ object SeriesSql {
        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flags
        |FROM centered c JOIN fit2 ON c.p = fit2.p
        |GROUP BY c.p, slope, icept ORDER BY c.p""".stripMargin
+
+  val q43IqrSublist: String =
+    """WITH ranked AS (
+      |  SELECT event_type, value, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events
+      |), fq AS (
+      |  SELECT event_type, quantile_cont(value, 0.25) AS q1
+      |  FROM ranked WHERE rn <= (n // 2) // 2 GROUP BY 1
+      |), tq AS (
+      |  SELECT event_type, quantile_cont(value, 0.75) AS q3
+      |  FROM ranked WHERE rn > n // 2 AND rn <= n // 2 + (n - n // 2) // 2 GROUP BY 1
+      |), f AS (
+      |  SELECT fq.event_type, q1, q3,
+      |    q1 - (q3 - q1) * 1.5 AS lo, q3 + (q3 - q1) * 1.5 AS hi
+      |  FROM fq JOIN tq ON fq.event_type = tq.event_type
+      |)
+      |SELECT e.event_type, ROUND(q1, 6) AS q1, ROUND(q3, 6) AS q3,
+      |  ROUND(lo, 6) AS lo, ROUND(hi, 6) AS hi,
+      |  CAST(SUM(CASE WHEN e.value < lo OR e.value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+      |FROM events e JOIN f ON e.event_type = f.event_type
+      |GROUP BY 1, 2, 3, 4, 5 ORDER BY 1""".stripMargin
 
   val q19Polyfit2: String = {
     def det(a1: String, a2: String, a3: String, b1: String, b2: String, b3: String,
