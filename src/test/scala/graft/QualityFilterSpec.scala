@@ -7,6 +7,7 @@ import graft.pipeline.QualityFilter
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 
 /** The F1/decision-parity + determinism gates from BASELINE.json, run on a
   * deterministic synthetic corpus (FIXTURES.md §1).
@@ -132,6 +133,26 @@ class QualityFilterSpec extends AnyFunSuite {
       assert(got.getDouble(0) == SeqOracle.percentileExact(sorted, 0.25), s"q1 trial $trial")
       assert(got.getDouble(1) == SeqOracle.percentileExact(sorted, 0.75), s"q3 trial $trial")
     }
+  }
+
+  test("writeLabeled size-balances the Zipf-skewed repo distribution across output files") {
+    // Corpus repos are Zipf-skewed (hot keys); repartitionByRange(repo, path)
+    // must split hot repos across range boundaries via the secondary key so
+    // no output partition carries a disproportionate share — the explicit
+    // skew handling the north rule asks for.
+    val dir = java.nio.file.Files.createTempDirectory("graft-balance-").toString
+    val res = QualityFilter.run(Corpus.generate(spark, 20000, seed = 21, numParts = 8))
+    QualityFilter.writeLabeled(res.slim, dir, parts = 16)
+    res.slim.unpersist()
+    val sizes = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(java.nio.file.Files.size(_)).toSeq.sorted
+    assert(sizes.size == 16)
+    val median = sizes(sizes.size / 2).toDouble
+    info(s"output file sizes: min=${sizes.min} median=$median max=${sizes.max}")
+    assert(sizes.max <= median * 3,
+      s"skewed output: max=${sizes.max} vs median=$median — hot repo not split")
   }
 
   test("metrics and lineage tables are consistent with labels") {
