@@ -79,6 +79,25 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     assert(b.toSeq == Seq(("b", 4L, 0L, false), ("b", 6L, 2L, false)))
   }
 
+  test("streaming dedup keeps the first row per content sha across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val ts = (s: Long) => new java.sql.Timestamp(1700000000000L + s * 1000)
+    val deduped = StreamingQualityFilter.dedupByContentSha(
+      in.toDF().toDF("id", "content", "ts"), "ts")
+    val q = deduped.select("id", "content")
+      .writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    in.addData((1L, "alpha", ts(1)), (2L, "alpha", ts(2)), (3L, "beta", ts(3)))
+    q.processAllAvailable()
+    in.addData((4L, "alpha", ts(4)), (5L, "gamma", ts(5))) // dup across batches
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sdedup").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "alpha"), (3L, "beta"), (5L, "gamma")))
+  }
+
   test("multimodal: batched stub decode is deterministic and batch-size independent") {
     val m = Multimodal.generate(spark, 500, 7L, 4)
     val f1 = Multimodal.extractFeatures(m, batchSize = 8).collect()
