@@ -50,7 +50,7 @@ object Bench {
   /** (stealTicks, totalTicks) from the aggregate "cpu" line of /proc/stat. */
   private def cpuTicks: (Long, Long) =
     try {
-      val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      val line = Files.readAllLines(Paths.get("/proc/stat")).get(0)
       val f = line.trim.split("\\s+").drop(1).map(_.toLong)
       (if (f.length > 7) f(7) else 0L, f.sum)
     } catch { case _: Throwable => (0L, 0L) }
@@ -96,23 +96,28 @@ object Bench {
     val prevOpen = spark.conf.get("spark.sql.files.openCostInBytes")
     spark.conf.set("spark.sql.files.maxPartitionBytes", (1024 * 1024).toString)
     spark.conf.set("spark.sql.files.openCostInBytes", (256 * 1024).toString)
-    val l0 = loadavg1
-    val (s0, t0) = cpuTicks
-    val (_, sec) = timed {
-      val corpus = spark.read.parquet(inPath).as[SourceFile]
-      // cache=false: re-scanning the compressed parquet (3 passes) is
-      // cheaper than serializing the full-content corpus into block cache
-      val res = QualityFilter.run(corpus, QualityFilter.Config(cache = false))
-      QualityFilter.writeLabeled(res.slim, outPath)
-      res.metrics.write.mode("overwrite").parquet(outPath + "_metrics")
-      res.slim.unpersist()
+    try {
+      val l0 = loadavg1
+      val (s0, t0) = cpuTicks
+      val (_, sec) = timed {
+        val corpus = spark.read.parquet(inPath).as[SourceFile]
+        // cache=false: re-scanning the compressed parquet (3 passes) is
+        // cheaper than serializing the full-content corpus into block cache
+        val res = QualityFilter.run(corpus, QualityFilter.Config(cache = false))
+        QualityFilter.writeLabeled(res.slim, outPath)
+        res.metrics.write.mode("overwrite").parquet(outPath + "_metrics")
+        res.slim.unpersist()
+      }
+      val (s1, t1) = cpuTicks
+      val l1 = loadavg1
+      val steal = if (t1 > t0) (s1 - s0).toDouble / (t1 - t0) else 0.0
+      (sec, l0, l1, steal)
+    } finally {
+      // restore on every path — a failed run must not leak bench-only
+      // splits into anything else timed on this session
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
     }
-    val (s1, t1) = cpuTicks
-    val l1 = loadavg1
-    spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
-    spark.conf.set("spark.sql.files.openCostInBytes", prevOpen)
-    val steal = if (t1 > t0) (s1 - s0).toDouble / (t1 - t0) else 0.0
-    (sec, l0, l1, steal)
   }
 
   private def median(xs: Seq[Double]): Double = {
@@ -228,9 +233,11 @@ object Bench {
 
     // best-effort BENCH.md update
     try {
+      // rows are embedded in a stripMargin template: each continuation line
+      // needs its own margin marker or stripMargin eats the leading '|'
       val sampleRows = samples.map { s =>
         f"| local[${s.level}] | ${s.round} | ${s.sec}%.2f | ${nFiles / s.sec}%.0f | ${s.load0}%.2f → ${s.load1}%.2f | ${s.steal * 100}%.1f%% | ${s.probe32}%.0f |"
-      }.mkString("\n")
+      }.mkString("\n           ||")
       val md =
         f"""# BENCH — measured numbers
            |

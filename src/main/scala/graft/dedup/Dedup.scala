@@ -135,9 +135,11 @@ object Dedup {
   // overflow-free under ANSI mode (Spark 4 default) in pure column math.
   private val MinHashPrime = 2147483647L
 
-  /** Deterministic affine coefficients for K minhash functions — for any K
-    * the leading 16 match the round-1 fixed tables (same seed, same draw
-    * order), so default-parameter results are stable across versions.
+  /** Deterministic affine coefficients for K minhash functions. At the
+    * default k=16 the full (a, b) tables are identical to the round-1
+    * fixed constants (same seed, same draw order), so default-parameter
+    * signatures are stable across versions; for other k only the coefA
+    * prefix is shared (the b draws start at draw position k).
     */
   def minhashCoefficients(k: Int): (Seq[Long], Seq[Long]) = {
     val r = new scala.util.Random(0x5eed)

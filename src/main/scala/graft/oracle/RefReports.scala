@@ -121,12 +121,13 @@ object RefReports {
     val srcs = Seq(p.fao -> "FAOSTAT", p.woah -> "WOAH",
       p.census -> "Census", p.national -> "National")
     val n = p.fao.length
-    // reference guards on list non-emptiness; all four lists share length n
-    val nonEmpty = srcs.map(_._1.nonEmpty)
+    // The reference guards each pair on pct-list non-emptiness
+    // (outlierFinders.py:96-120), but all four pct lists are built in ONE
+    // loop over the same bucket range (src/app.py:1560-1579) so they always
+    // share length n — the guards can never differ and are omitted here.
     var i = 0
     while (i < n) {
-      for (ai <- 0 until 4; bi <- (ai + 1) until 4
-           if nonEmpty(ai) && nonEmpty(bi)) {
+      for (ai <- 0 until 4; bi <- (ai + 1) until 4) {
         val (pa, la) = srcs(ai)
         val (pb, lbl) = srcs(bi)
         if (pa(i).toDouble > ub(pb(i).toDouble) || pa(i).toDouble < lb(pb(i).toDouble))

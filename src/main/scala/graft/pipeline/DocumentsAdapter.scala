@@ -41,9 +41,13 @@ object DocumentsAdapter {
     */
   private val runs = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), QualityResult]
 
-  private def sharedRun(s: SparkSession, dir: String): QualityResult =
+  private def sharedRun(s: SparkSession, dir: String): QualityResult = {
+    // evict entries of stopped sessions: their cached plans/broadcasts are
+    // unusable and would otherwise pin the dead session for the JVM's life
+    runs.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
     runs.getOrElseUpdate((s, dir),
       QualityFilter.run(fromDocuments(Tables.documents(s, dir)), docConfig))
+  }
 
   /** Flagship query: full quality-filter over the documents table. Output is
     * fully deterministic (rounded scores, sorted) — rows-only driver check.

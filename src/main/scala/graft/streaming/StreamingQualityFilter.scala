@@ -83,14 +83,16 @@ object StreamingQualityFilter {
   /** Streaming exact dedup: first-seen row per content sha within the
     * watermark horizon (state on the 32-byte digest, like the batch
     * [[graft.dedup.Dedup.exactDedupBySha]] — never the content itself).
-    * Late duplicates beyond the watermark age out of state, the standard
-    * bounded-state trade for an unbounded stream.
+    * dropDuplicatesWithinWatermark is the variant whose state actually
+    * ages out at the watermark (plain dropDuplicates on a non-event-time
+    * subset keeps one state row per distinct sha FOREVER — unbounded state
+    * on an unbounded stream).
     */
   def dedupByContentSha(df: DataFrame, tsCol: String,
       watermark: String = "10 minutes"): DataFrame =
     df.withColumn("content_sha", sha2(col("content").cast("binary"), 256))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates("content_sha")
+      .dropDuplicatesWithinWatermark("content_sha")
 
   /** Windowed keep/drop rate over an event-time column, with watermark —
     * the monitoring aggregation of the streaming pipeline.
