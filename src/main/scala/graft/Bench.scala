@@ -189,36 +189,42 @@ object Bench {
     }
     val probeEnd = Map(2 -> cpuProbe(2), 8 -> cpuProbe(8), 32 -> cpuProbe(32))
 
-    // ---- scale section: one 1M-file run per level --------------------------
+    // ---- scale section: 1M-file runs of the 8→32 pair ----------------------
     // The 150k corpus amortizes per-run overhead poorly (~30% of local[32]
-    // wall is fixed job/plan/commit cost), understating large-scale
-    // behavior. A single 1M-file run per level measures the amortized
-    // regime — per-file cost FALLS ~2x and both N→4N ratios rise. Single
-    // samples (telemetry attached); the interleaved 150k rounds above stay
-    // the primary gate.
+    // wall is fixed job/plan/commit cost), understating the large-scale
+    // 8→32 ratio. Two interleaved 1M-file attempts per level (best kept,
+    // telemetry attached) measure the amortized regime for that pair; the
+    // 2→8 gate stays on the interleaved 150k rounds above (a 1M local[2]
+    // run costs 5+ minutes per sample — too exposed to host storms to be
+    // evidence).
     val scaleFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE_FILES", "1000000").toLong
+    val scaleLevels = Seq(8, topLevel)
     val scaleSamples = scala.collection.mutable.ArrayBuffer[Sample]()
     if (scaleFiles > 0) {
       spark = GraftSession.local(topLevel, "graft-bench-scale-gen")
       Corpus.generate(spark, scaleFiles, 42L, 256).toDF()
         .write.mode("overwrite").parquet(s"$work/corpus_1m")
       spark.stop()
-      levels.foreach { lv =>
-        spark = GraftSession.local(lv, s"graft-bench-scale-$lv")
-        runPipeline(spark, s"$work/corpus_small", s"$work/scalewarm-$lv")
-        val probe = cpuProbe(32, 100_000_000L)
-        val (sec, l0, l1, steal) = runPipeline(spark, s"$work/corpus_1m", s"$work/scaleout-$lv")
-        scaleSamples += Sample(lv, 0, sec, l0, l1, steal, probe)
-        spark.stop()
+      (1 to 2).foreach { r =>
+        scaleLevels.foreach { lv =>
+          spark = GraftSession.local(lv, s"graft-bench-scale-$lv-r$r")
+          runPipeline(spark, s"$work/corpus_small", s"$work/scalewarm-$lv-$r")
+          val probe = cpuProbe(32, 100_000_000L)
+          val (sec, l0, l1, steal) = runPipeline(spark, s"$work/corpus_1m", s"$work/scaleout-$lv-$r")
+          scaleSamples += Sample(lv, r, sec, l0, l1, steal, probe)
+          spark.stop()
+        }
       }
     }
-    // zero (not NaN) when the scale section is disabled or a level is
-    // missing — NaN would break the driver's JSON parse
-    def scaleTp(lv: Int): Double =
-      scaleSamples.find(_.level == lv).map(s => scaleFiles / s.sec).getOrElse(0.0)
-    val scTp = levels.map(lv => lv -> scaleTp(lv)).toMap
-    val scEff28 = if (scTp(2) > 0) scTp(8) / (4.0 * scTp(2)) else 0.0
-    val scEff832 = if (scTp(8) > 0) scTp(topLevel) / (4.0 * scTp(8)) else 0.0
+    // zero (not NaN) when the scale section is disabled — NaN would break
+    // the driver's JSON parse
+    def scaleTp(lv: Int): Double = {
+      val secs = scaleSamples.filter(_.level == lv).map(_.sec)
+      if (secs.isEmpty) 0.0 else scaleFiles / secs.min
+    }
+    val scTp8 = scaleTp(8)
+    val scTp32 = scaleTp(topLevel)
+    val scEff832 = if (scTp8 > 0) scTp32 / (4.0 * scTp8) else 0.0
 
     def bestSec(lv: Int) = samples.filter(_.level == lv).map(_.sec).min
     def medSec(lv: Int) = median(samples.filter(_.level == lv).map(_.sec).toSeq)
@@ -259,7 +265,7 @@ object Bench {
     def probeJson(m: Map[Int, Double]) =
       f"""{"t2_mops":${m(2)}%.0f,"t8_mops":${m(8)}%.0f,"t32_mops":${m(32)}%.0f}"""
     val json =
-      f"""{"metric":"qf_files_per_sec_local32","value":$tp32%.1f,"unit":"files/sec","queries":$qs,"sf":"$sfDir","qf":{"files":$nFiles,"rounds":$rounds,"local2_sec":$sec2%.2f,"local8_sec":$sec8%.2f,"local32_sec":$sec32%.2f,"local2_files_per_sec":$tp2%.1f,"local8_files_per_sec":$tp8%.1f,"local32_files_per_sec":$tp32%.1f,"median_local2_files_per_sec":$tpMed2%.1f,"median_local8_files_per_sec":$tpMed8%.1f,"median_local32_files_per_sec":$tpMed32%.1f,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"median_scaling_efficiency_2_to_8":$effMed28%.3f,"median_scaling_efficiency_8_to_32":$effMed832%.3f,"host_ceiling_2_to_8":$ceil28%.3f,"host_ceiling_8_to_32":$ceil832%.3f,"cpu_probe_start":${probeJson(probeStart)},"cpu_probe_end":${probeJson(probeEnd)},"preflight_wait_sec":$waitedSec%.0f,"load_at_start":$loadAtStart%.2f,"samples":$sampleJson,"scale":{"files":$scaleFiles,"local2_files_per_sec":${scTp(2)}%.1f,"local8_files_per_sec":${scTp(8)}%.1f,"local32_files_per_sec":${scTp(32)}%.1f,"scaling_efficiency_2_to_8":$scEff28%.3f,"scaling_efficiency_8_to_32":$scEff832%.3f,"samples":${scaleSamples.map(s => f"""{"level":${s.level},"sec":${s.sec}%.2f,"load_before":${s.load0}%.2f,"load_after":${s.load1}%.2f,"steal_frac":${s.steal}%.3f,"probe32_mops":${s.probe32}%.0f}""").mkString("[", ",", "]")}}},"queries_total_sec":${queryTimes.map(_._2).sum}%.2f}"""
+      f"""{"metric":"qf_files_per_sec_local32","value":$tp32%.1f,"unit":"files/sec","queries":$qs,"sf":"$sfDir","qf":{"files":$nFiles,"rounds":$rounds,"local2_sec":$sec2%.2f,"local8_sec":$sec8%.2f,"local32_sec":$sec32%.2f,"local2_files_per_sec":$tp2%.1f,"local8_files_per_sec":$tp8%.1f,"local32_files_per_sec":$tp32%.1f,"median_local2_files_per_sec":$tpMed2%.1f,"median_local8_files_per_sec":$tpMed8%.1f,"median_local32_files_per_sec":$tpMed32%.1f,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"median_scaling_efficiency_2_to_8":$effMed28%.3f,"median_scaling_efficiency_8_to_32":$effMed832%.3f,"host_ceiling_2_to_8":$ceil28%.3f,"host_ceiling_8_to_32":$ceil832%.3f,"cpu_probe_start":${probeJson(probeStart)},"cpu_probe_end":${probeJson(probeEnd)},"preflight_wait_sec":$waitedSec%.0f,"load_at_start":$loadAtStart%.2f,"samples":$sampleJson,"scale":{"files":$scaleFiles,"local8_files_per_sec":$scTp8%.1f,"local32_files_per_sec":$scTp32%.1f,"scaling_efficiency_8_to_32":$scEff832%.3f,"samples":${scaleSamples.map(s => f"""{"level":${s.level},"round":${s.round},"sec":${s.sec}%.2f,"load_before":${s.load0}%.2f,"load_after":${s.load1}%.2f,"steal_frac":${s.steal}%.3f,"probe32_mops":${s.probe32}%.0f}""").mkString("[", ",", "]")}}},"queries_total_sec":${queryTimes.map(_._2).sum}%.2f}"""
     println(json)
 
     // best-effort BENCH.md update
@@ -297,12 +303,12 @@ object Bench {
            |engine; the 2→8 pair runs below the ceiling and is the cleaner
            |N→4N read.
            |
-           |Amortized-regime scale section (ONE $scaleFiles%d-file run per
-           |level — per-run overhead drops from ~30%% of local[32] wall to
-           |~5%%, so these are the large-scale-representative figures):
-           |local[2] ${scTp(2)}%.0f / local[8] ${scTp(8)}%.0f /
-           |local[32] ${scTp(32)}%.0f files/sec; efficiency 2→8 =
-           |**$scEff28%.3f**, 8→32 = **$scEff832%.3f**.
+           |Amortized-regime scale section ($scaleFiles%d files, best of two
+           |interleaved attempts per level — per-run overhead drops from
+           |~30%% of local[32] wall to ~5%%, so this is the
+           |large-scale-representative read of the 8→32 pair):
+           |local[8] $scTp8%.0f / local[32] $scTp32%.0f files/sec;
+           |efficiency 8→32 = **$scEff832%.3f**.
            |
            |Per-sample telemetry (every timed run):
            |
