@@ -296,12 +296,11 @@ object Bench {
            |
            |Host context, measured in THIS bench invocation by a raw-CPU
            |probe (pure 64-bit xorshift per thread, no memory traffic, no
-           |JVM coordination — an upper bound on any CPU-parallel job):
-           |2→8 thread ceiling = $ceil28%.3f, 8→32 thread ceiling =
-           |**$ceil832%.3f** (vCPU overcommit + steal + one memory bus).
-           |The engine's 8→32 pair is bounded by the box, not only the
-           |engine; the 2→8 pair runs below the ceiling and is the cleaner
-           |N→4N read.
+           |JVM coordination): 2→8 thread ceiling = $ceil28%.3f, 8→32
+           |thread ceiling = **$ceil832%.3f** (vCPU overcommit + steal +
+           |one memory bus; the probe samples moments, not the whole run
+           |window). Read each engine pair against the same-hour ceiling;
+           |the 2→8 pair is the designated N→4N executor stand-in.
            |
            |Amortized-regime scale section ($scaleFiles%d files, best of two
            |interleaved attempts per level — per-run overhead drops from
