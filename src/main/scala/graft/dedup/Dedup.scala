@@ -1,7 +1,38 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions, Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+
+/** Element-wise-min MinHash aggregation buffer: all K affine transforms
+  * applied per input hash, minima merged associatively — partial (map-side)
+  * aggregation makes the shuffle O(docs × K) longs.
+  */
+class MinHashAggregator(coefA: Array[Long], coefB: Array[Long], prime: Long)
+    extends Aggregator[Long, Array[Long], Array[Long]] {
+  private val k = coefA.length
+  override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
+  override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+    var j = 0
+    while (j < k) {
+      val v = (h * coefA(j) + coefB(j)) % prime
+      val vv = if (v < 0) v + prime else v
+      if (vv < buf(j)) buf(j) = vv
+      j += 1
+    }
+    buf
+  }
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var j = 0
+    while (j < k) { if (b(j) < a(j)) a(j) = b(j); j += 1 }
+    a
+  }
+  override def finish(buf: Array[Long]): Array[Long] = buf
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
 
 /** Deduplication operators for training-data pipelines: exact, word-shingle
   * Jaccard, MinHash+LSH, SimHash. All distributed, no driver-side loops.
@@ -147,15 +178,33 @@ object Dedup {
       Seq.fill(k)(math.abs(r.nextLong()) % MinHashPrime))
   }
 
-  /** (id, sig: array<long>[k]) — one base xxhash64 per shingle reduced to
-    * the 31-bit domain, then all k affine minhashes in ONE native-expression
-    * pass ([[graft.functions.MinHashSig]]).
+  /** (id, sig: array<long>[k]) via a typed Aggregator with MAP-SIDE
+    * partial aggregation: element-wise min is associative, so each task
+    * pre-reduces its shingle hashes to one K-long signature per document
+    * and the shuffle carries O(docs × K) longs instead of every shingle
+    * hash (the collect_list formulation ships them all). Values are
+    * identical to [[graft.functions.MinHashSig]] over the collected list —
+    * proven in PipelineOpsSpec.
     *
     * k and bands set the S-curve: a pair with Jaccard j collides in some
     * band with probability 1 − (1 − j^(k/bands))^bands; the (16, 4) default
     * targets t ≈ 0.9, (32, 8) is a lower-threshold/higher-recall setting.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = MinHashK): DataFrame = {
+    val (coefA, coefB) = minhashCoefficients(k)
+    val agg = functions.udaf(new MinHashAggregator(coefA.toArray, coefB.toArray, MinHashPrime))
+    shingles(df, idCol, textCol, n)
+      .select(col(idCol), pmod(xxhash64(col("shingle")), lit(MinHashPrime)).as("h"))
+      .groupBy(col(idCol))
+      .agg(agg(col("h")).as("sig"))
+  }
+
+  /** The round-1 formulation (collect full hash list, then the native
+    * expression) — kept as the differential-testing twin of the
+    * aggregator path; do not use in the hot path.
+    */
+  def minhashSignaturesViaList(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = MinHashK): DataFrame = {
     val (coefA, coefB) = minhashCoefficients(k)
     val sh = shingles(df, idCol, textCol, n)

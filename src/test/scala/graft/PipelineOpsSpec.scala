@@ -60,6 +60,17 @@ class PipelineOpsSpec extends AnyFunSuite {
       .select(size(col("sig"))).collect().forall(_.getInt(0) == 32))
   }
 
+  test("aggregator minhash signatures equal the collect_list + expression twin exactly") {
+    val docs = Tables.documents(spark, dir)
+    def sigs(f: => org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      f.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    for (k <- Seq(16, 32)) {
+      val a = sigs(Dedup.minhashSignatures(docs, "doc_id", "text", 3, k))
+      val b = sigs(Dedup.minhashSignaturesViaList(docs, "doc_id", "text", 3, k))
+      assert(a.size == b.size && a == b, s"k=$k: aggregator and list paths diverge")
+    }
+  }
+
   test("distinct-representative LSH equals plain LSH on duplicate-free input and ignores clones") {
     import spark.implicits._
     val base = Tables.documents(spark, dir).select("doc_id", "text")
