@@ -27,7 +27,24 @@ import scala.util.Using
   * Scale notes: the log holds directory names, not row data; data files are
   * written by executors via the normal parquet writer (partitioned,
   * size-balanced by the caller via repartitionByRange); only the tiny
-  * manifest rename is driver-side.
+  * manifest rename is driver-side. Manifests are immutable and versions are
+  * DENSE (the link(2) CAS claims slot n only after reading slot n−1), so
+  * the log is cached per instance: [[snapshots]] parses only manifests that
+  * appeared since the previous call — probing `exists(v_next)` directly,
+  * no directory listing — keeping `append`/`latest`/`findByKey` at O(new
+  * manifests) per call instead of O(all), flat over thousands of commits
+  * (the role Iceberg's version-hint file plays; density makes the in-memory
+  * cache itself an exact hint). A fresh process pays one full log read to
+  * warm its cache.
+  *
+  * Object-store caveat: the commit CAS relies on POSIX link(2) failing with
+  * EEXIST. S3-style object stores have no hard links — the equivalent
+  * primitive there is a conditional PUT (`If-None-Match: *`), which is
+  * exactly how Iceberg/Delta commit on object storage; porting this layer
+  * means swapping [[commitLoop]]'s publish line for that call, nothing
+  * else. On a filesystem without hard-link support, createLink throws
+  * (commit fails loudly rather than risking the silent-replace race of
+  * ATOMIC_MOVE) and the staged manifest is still cleaned up.
   */
 final class SnapshotTable(val spark: SparkSession, val root: String) {
   private val logDir = Paths.get(root, "_log")
@@ -39,6 +56,25 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
   case class Snapshot(version: Long, commitKey: String, added: Seq[String], live: Seq[String])
 
   private def manifestPath(v: Long): Path = logDir.resolve(f"v$v%08d.json")
+
+  /** Parsed-manifest cache; manifests are immutable and dense, so the cache
+    * is append-only and syncs by probing the next version slot.
+    */
+  private val logCache = scala.collection.mutable.ArrayBuffer.empty[Snapshot]
+
+  /** Test-visible: manifest files read+parsed over this instance's lifetime
+    * (the flat-commit-latency spec asserts this is O(commits), not O(n²)).
+    */
+  @volatile private[graft] var manifestReads: Long = 0L
+
+  private def sync(): Unit = synchronized {
+    var v = logCache.size.toLong
+    while (Files.exists(manifestPath(v))) {
+      logCache += parse(new String(Files.readAllBytes(manifestPath(v)), "UTF-8"))
+      manifestReads += 1
+      v += 1
+    }
+  }
 
   private def parse(json: String): Snapshot = {
     // minimal flat-JSON parser for our own writer's output
@@ -59,13 +95,7 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
     s"""{"version": ${s.version}, "commitKey": "${s.commitKey}", "added": ${arr(s.added)}, "live": ${arr(s.live)}}"""
   }
 
-  def snapshots(): Seq[Snapshot] =
-    Using.resource(Files.list(logDir)) { stream =>
-      stream.iterator().asScala.toSeq
-        .filter(_.getFileName.toString.matches("v\\d{8}\\.json"))
-        .sortBy(_.getFileName.toString)
-        .map(p => parse(new String(Files.readAllBytes(p), "UTF-8")))
-    }
+  def snapshots(): Seq[Snapshot] = synchronized { sync(); logCache.toSeq }
 
   def latest(): Option[Snapshot] = snapshots().lastOption
 
@@ -85,9 +115,17 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
         val dirName = s"$commitKey-${java.util.UUID.randomUUID().toString.take(8)}"
         val target = dataDir.resolve(dirName)
         df.write.mode("errorifexists").parquet(target.toString)
-        commitLoop(commitKey, Seq(dirName))
+        commitDirs(commitKey, Seq(dirName))
     }
   }
+
+  /** Commit already-staged data dirs (relative to `root/data/`) under
+    * `commitKey` — the building block of [[append]], usable directly when
+    * the parquet files were written by an external job. Same idempotence
+    * and CAS semantics.
+    */
+  def commitDirs(commitKey: String, added: Seq[String]): Snapshot =
+    commitLoop(commitKey, added)
 
   @annotation.tailrec
   private def commitLoop(commitKey: String, added: Seq[String]): Snapshot = {
@@ -112,8 +150,15 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
         val won =
           try { Files.createLink(manifestPath(next.version), staged); true }
           catch { case _: java.nio.file.FileAlreadyExistsException => false }
-        Files.deleteIfExists(staged)
-        if (won) next
+          // any other failure (AccessDenied, hard-link-less filesystem)
+          // propagates, but the staged file must never be leaked
+          finally Files.deleteIfExists(staged)
+        if (won) {
+          // the winner knows its own manifest — cache it without a re-read
+          // (guard: a concurrent sync may have read it already)
+          synchronized { if (logCache.size == next.version) logCache += next }
+          next
+        }
         else commitLoop(commitKey, added) // lost the race; re-read log, retry
     }
   }
@@ -146,6 +191,33 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
     val s = snapshots().find(_.version == version)
       .getOrElse(throw new IllegalArgumentException(s"no snapshot $version"))
     readDirs(s.added)
+  }
+
+  /** Garbage-collect staging debris no snapshot references: data dirs
+    * absent from every snapshot's `added` set (a writer that crashed
+    * between its parquet write and its manifest commit leaves one behind
+    * forever otherwise) and leftover `.tmp-*` manifests. Only artifacts
+    * older than `olderThanMs` are removed — an IN-FLIGHT writer's staged
+    * dir is indistinguishable from an orphan until its commit lands, so the
+    * age guard must exceed the longest plausible stage-to-commit window
+    * (Iceberg's `remove_orphan_files` makes the same trade). Returns the
+    * deleted paths.
+    */
+  def expireOrphans(olderThanMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    val referenced = snapshots().flatMap(_.added).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    def old(p: Path) = Files.getLastModifiedTime(p).toMillis < cutoff
+    val orphanDirs = Using.resource(Files.list(dataDir))(_.iterator().asScala.toSeq)
+      .filter(p => !referenced.contains(p.getFileName.toString) && old(p))
+    val tmpManifests = Using.resource(Files.list(logDir))(_.iterator().asScala.toSeq)
+      .filter(p => p.getFileName.toString.startsWith(".tmp-") && old(p))
+    (orphanDirs ++ tmpManifests).map { p => deleteRecursively(p); p.toString }
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Using.resource(Files.list(p))(_.iterator().asScala.toSeq).foreach(deleteRecursively)
+    Files.deleteIfExists(p)
   }
 }
 

@@ -64,6 +64,49 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.read().count() == 12 * 10)
   }
 
+  test("1000 commits: per-commit log work stays flat (each manifest parsed once)") {
+    val t = SnapshotTable(spark, tmp())
+    (0 until 1000).foreach(i => t.commitDirs(f"k-$i%04d", Seq(f"k-$i%04d-dir")))
+    assert(t.latest().get.version == 999)
+    assert(t.latest().get.live.size == 1000)
+    // O(new) per call: a writer's own manifests are cached at commit time,
+    // so 1000 commits re-read NOTHING — an O(all)-per-commit log (the
+    // round-2 shape) would be ~1,500,000 reads for this sequence
+    assert(t.manifestReads == 0, s"manifestReads=${t.manifestReads}")
+    // a fresh instance warms its cache with ONE full read of the log...
+    val t2 = SnapshotTable(spark, t.root)
+    assert(t2.latest().get.version == 999)
+    assert(t2.manifestReads == 1000)
+    // ...after which lookups and further commits read nothing already seen
+    assert(t2.findByKey("k-0500").isDefined)
+    assert(t2.manifestReads == 1000)
+    t2.commitDirs("one-more", Seq("one-more-dir"))
+    assert(t2.manifestReads == 1000)
+    // the first instance syncs exactly the one manifest it hasn't seen
+    assert(t.latest().get.version == 1000)
+    assert(t.manifestReads == 1, s"manifestReads=${t.manifestReads}")
+  }
+
+  test("expireOrphans removes crashed writers' staging debris, never live data") {
+    val t = SnapshotTable(spark, tmp())
+    t.append(Corpus.generate(spark, 20, seed = 9, numParts = 1).toDF(), "good")
+    // simulate a crash between the data stage and the manifest commit
+    val orphan = java.nio.file.Paths.get(t.root, "data", "crashed-writer-123")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    val tmpManifest = java.nio.file.Paths.get(t.root, "_log", ".tmp-deadbeef")
+    Files.write(tmpManifest, "{}".getBytes("UTF-8"))
+    // age guard: nothing younger than the window is removed (an in-flight
+    // writer's staged dir looks exactly like an orphan until it commits)
+    assert(t.expireOrphans(olderThanMs = 3600L * 1000).isEmpty)
+    // force-expire everything unreferenced (cutoff in the future)
+    val removed = t.expireOrphans(olderThanMs = -60L * 1000)
+    assert(removed.exists(_.endsWith("crashed-writer-123")))
+    assert(removed.exists(_.endsWith(".tmp-deadbeef")))
+    assert(!Files.exists(orphan) && !Files.exists(tmpManifest))
+    assert(t.read().count() == 20, "live data must survive expiry")
+  }
+
   test("incremental runner processes each snapshot exactly once across reruns") {
     val in = SnapshotTable(spark, tmp())
     val out = SnapshotTable(spark, tmp())
