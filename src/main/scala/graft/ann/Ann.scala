@@ -104,7 +104,12 @@ object Ann {
       val next = centroids.map(_.clone())
       stats.foreach { r =>
         val cell = r.getInt(0)
-        next(cell)(r.getInt(1)) = (r.getDouble(2) / r.getLong(3)).toFloat
+        val pos = r.getInt(1)
+        // ragged input tolerance: a vector longer than the seed centroids
+        // contributes positions past the centroid length — ignore them,
+        // matching cosineLocal's min-length semantics
+        if (pos < next(cell).length)
+          next(cell)(pos) = (r.getDouble(2) / r.getLong(3)).toFloat
       }
       centroids = next // cells with no members keep their previous centroid
       it += 1

@@ -84,6 +84,7 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    requirePositiveThreshold(threshold)
     val sh = shingles(df, idCol, textCol, n, blockCols)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(blockCols.map(col) :+ col(idCol).as("a_id") :+ col("shingle"): _*)
@@ -116,6 +117,7 @@ object Dedup {
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], n: Int = 3, threshold: Double = 0.8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    requirePositiveThreshold(threshold)
     val sh = shingles(df, idCol, textCol, n, blockCols)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("shf"))
@@ -131,6 +133,17 @@ object Dedup {
       .select("a_id", "b_id").distinct()
     verifyJaccard(cands, sh, idCol, threshold)
   }
+
+  /** Contract of every similarity join here: pairs sharing ZERO shingles
+    * are never emitted (the intersection is computed by counting joined
+    * shingle rows, so a zero intersection produces no row at all). A
+    * threshold of 0 would therefore silently under-return; make the
+    * contract explicit instead.
+    */
+  private def requirePositiveThreshold(threshold: Double): Unit =
+    require(threshold > 0,
+      s"threshold must be > 0 (got $threshold): zero-overlap pairs are never " +
+        "emitted by intersection-counting verification")
 
   /** Exact-Jaccard verification of candidate pairs by intersection
     * COUNTING on candidate-restricted shingle rows — never materializes a
@@ -191,11 +204,18 @@ object Dedup {
     * targets t ≈ 0.9, (32, 8) is a lower-threshold/higher-recall setting.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = MinHashK): DataFrame = {
+      n: Int = 3, k: Int = MinHashK): DataFrame =
+    minhashSignaturesFromShingles(shingles(df, idCol, textCol, n), idCol, k)
+
+  /** Signature aggregation over an already-computed (id, shingle) relation —
+    * lets one shingle materialization feed both the signature pass and the
+    * verification pass (see [[lshNearDupPairs]]).
+    */
+  def minhashSignaturesFromShingles(sh: DataFrame, idCol: String,
+      k: Int = MinHashK): DataFrame = {
     val (coefA, coefB) = minhashCoefficients(k)
     val agg = functions.udaf(new MinHashAggregator(coefA.toArray, coefB.toArray, MinHashPrime))
-    shingles(df, idCol, textCol, n)
-      .select(col(idCol), pmod(xxhash64(col("shingle")), lit(MinHashPrime)).as("h"))
+    sh.select(col(idCol), pmod(xxhash64(col("shingle")), lit(MinHashPrime)).as("h"))
       .groupBy(col(idCol))
       .agg(agg(col("h")).as("sig"))
   }
@@ -217,13 +237,27 @@ object Dedup {
   /** LSH candidate pairs: equal band-signature in any band, then exact
     * Jaccard verification (intersection counting, candidate-restricted) —
     * never a full shingle set in one row.
+    *
+    * The (id, shingle) relation is computed ONCE and persisted
+    * (memory-with-disk-spill) so the signature pass and the verification
+    * pass share a single shingling of the corpus — shingling (explode +
+    * distinct over every word position) dominates the cost, and without the
+    * shared materialization both branches of the plan would re-scan and
+    * re-shingle the full content. The cache entry is keyed by the logical
+    * plan, so repeated calls over the same input reuse one entry; it is
+    * evicted LRU under memory pressure or explicitly via
+    * `spark.catalog.clearCache()`. At 100 TB, prefer writing the shingle
+    * relation to a temporary table (DISK_ONLY has the same effect).
     */
   def lshNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
       k: Int = MinHashK, bands: Int = Bands): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    requirePositiveThreshold(threshold)
     val rowsPerBand = k / bands
-    val sig = minhashSignatures(df, idCol, textCol, n, k)
+    val sh = shingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = minhashSignaturesFromShingles(sh, idCol, k)
     val banded = sig.select(
       col(idCol),
       explode(array((0 until bands).map { b =>
@@ -235,7 +269,7 @@ object Dedup {
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
       .distinct()
-    verifyJaccard(cands, shingles(df, idCol, textCol, n), idCol, threshold)
+    verifyJaccard(cands, sh, idCol, threshold)
   }
 
   /** The 100 TB composition: collapse identical texts to their min-id
