@@ -59,6 +59,8 @@ object SparkEntry {
     "q41_five_year_ext"   -> (CsvQueries.q41FiveYearExternal _),
     "q42_ann_ivf"         -> (PipelineQueries.q42AnnIvf _),
     "q43_iqr_sublist"     -> (SeriesQueries.q43IqrSublist _),
+    "q44_qf_heuristics"   -> (DocumentsAdapter.qfHeuristicsQuery _),
+    "q45_ann_ivf_exact"   -> (PipelineQueries.q45AnnIvfExact _),
     // flagship pipeline (not SQL-expressible: broadcast-model stages) —
     // driver records rows-only checks for these two.
     "q30_quality_filter"  -> (DocumentsAdapter.qualityFilterQuery _),
@@ -100,5 +102,10 @@ object SparkEntry {
     "q40_exact_dedup_sha" -> PipelineSql.q20ExactDedup,
     "q41_five_year_ext"   -> CsvSql.q41FiveYearExternal,
     "q43_iqr_sublist"     -> SeriesSql.q43IqrSublist,
+    // the flagship's heuristic+statistical-fence subset (model stages
+    // inert), fully SQL-expressible — the value-exact gate on q30's rule math
+    "q44_qf_heuristics"   -> PipelineSql.q44QfHeuristics,
+    // IVF with nprobe = nlist is arithmetically brute force — same oracle
+    "q45_ann_ivf_exact"   -> PipelineSql.q25AnnBrute,
   )
 }

@@ -30,10 +30,12 @@ object PipelineQueries {
       .orderBy("keep_id")
 
   /** MinHash+LSH near-dup pairs on documents (rows-only; ground truth =
-    * q23's exact Jaccard).
+    * q23's exact Jaccard). Uses the sha-collapse-first composition — the
+    * 100 TB default: exact-duplicate clusters contribute ONE representative
+    * to the band buckets instead of turning each bucket quadratic.
     */
   def q21MinhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.lshNearDupPairs(Tables.documents(s, dir), "doc_id", "text", 3, 0.8)
+    Dedup.lshNearDupPairsDistinct(Tables.documents(s, dir), "doc_id", "text", 3, 0.8)
       .orderBy("a_id", "b_id")
 
   /** SimHash signatures (rows-only; deterministic per text). */
@@ -86,6 +88,20 @@ object PipelineQueries {
   def q42AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
     Ann.ivfTopK(e.filter(col("vec_id") % 97 === 0), e, "vec_id", "embedding", 3)
+      .orderBy("q_id", "rk")
+  }
+
+  /** IVF in exhaustive mode (nprobe = nlist): probing every cell makes the
+    * inverted-file search arithmetically identical to brute force, so the
+    * q25 DuckDB oracle value-checks the ENTIRE IVF machinery end-to-end —
+    * k-means training, cell assignment, the cell equi-join, and the exact
+    * re-rank — not just its row shape. (q42 keeps the realistic
+    * nprobe < nlist setting, rows-only + recall spec.)
+    */
+  def q45AnnIvfExact(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Ann.ivfTopK(e.filter(col("vec_id") % 97 === 0), e, "vec_id", "embedding", 3,
+      nlist = 16, nprobe = 16)
       .orderBy("q_id", "rk")
   }
 
@@ -246,6 +262,58 @@ object PipelineSql {
        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_flags
        |FROM centered c JOIN fit ON c.p = fit.p
        |GROUP BY c.p, c0, c1, c2, c3 ORDER BY c.p""".stripMargin
+  }
+
+  /** DuckDB twin of the flagship's heuristic+fence subset (q44): replicates
+    * [[graft.functions.TextMetrics]]' metric definitions (RE2 classes match
+    * the Java/byte-scan semantics: \s here is spelled as the explicit ASCII
+    * class, alnum as [A-Za-z0-9]) and [[QualityFilter.reasonExprs]]' rule
+    * order with the model rules inert. Thresholds are interpolated from
+    * [[graft.pipeline.DocumentsAdapter.docConfig]] so the two sides cannot
+    * drift. quantile_cont matches Spark's exact `percentile` interpolation
+    * (the q03/q13 precedent, unrounded).
+    */
+  val q44QfHeuristics: String = {
+    val cfg = graft.pipeline.DocumentsAdapter.q44Config
+    s"""WITH t AS (
+       |  SELECT 'doc/' || doc_id AS path, lang, text,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    len(string_split(text, chr(10))) AS n_lines,
+       |    COALESCE(list_max(list_transform(string_split(text, chr(10)), x -> length(x))), 0) AS max_line_len,
+       |    len(list_distinct(string_split(text, chr(10)))) AS distinct_lines,
+       |    length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS alnum,
+       |    length(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]', '', 'g')) AS nonspace,
+       |    CAST(len(regexp_extract_all(text, '[^ \\t\\n\\x0b\\f\\r]+')) AS BIGINT) AS n_words,
+       |    regexp_matches(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x{FFFD}]') AS has_bad
+       |  FROM documents
+       |), d AS (
+       |  SELECT path, lang, n_chars, n_words, has_bad, max_line_len,
+       |    CAST(n_chars AS DOUBLE) / n_lines AS avg_line_len,
+       |    CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(alnum AS DOUBLE) / n_chars END AS alnum_ratio,
+       |    CASE WHEN n_lines = 0 THEN 0.0 ELSE 1.0 - CAST(distinct_lines AS DOUBLE) / n_lines END AS dup_line_ratio,
+       |    CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(nonspace AS DOUBLE) / n_words END AS mean_word_len,
+       |    sha256(text) AS content_sha256
+       |  FROM t
+       |), s AS (
+       |  SELECT lang, quantile_cont(n_chars, 0.25) AS q1, quantile_cont(n_chars, 0.75) AS q3
+       |  FROM d GROUP BY lang
+       |), r AS (
+       |  SELECT d.*,
+       |    list_filter([
+       |      CASE WHEN n_words = 0 THEN 'empty' END,
+       |      CASE WHEN has_bad THEN 'bad_encoding' END,
+       |      CASE WHEN max_line_len > ${cfg.maxLineLen} THEN 'long_line' END,
+       |      CASE WHEN avg_line_len > ${cfg.maxAvgLineLen} THEN 'long_avg_line' END,
+       |      CASE WHEN n_words > 0 AND alnum_ratio < ${cfg.minAlnumRatio} THEN 'low_alnum' END,
+       |      CASE WHEN dup_line_ratio > ${cfg.maxDupLineRatio} THEN 'rep_lines' END,
+       |      CASE WHEN n_words > 0 AND (mean_word_len < ${cfg.minMeanWordLen} OR mean_word_len > ${cfg.maxMeanWordLen}) THEN 'word_len' END,
+       |      CASE WHEN n_chars < q1 - ${cfg.iqrK} * (q3 - q1) OR n_chars > q3 + ${cfg.iqrK} * (q3 - q1) THEN 'len_outlier' END
+       |    ], x -> x IS NOT NULL) AS rl
+       |  FROM d JOIN s USING (lang)
+       |)
+       |SELECT path, lang, n_chars, n_words, len(rl) = 0 AS keep,
+       |  COALESCE(array_to_string(rl, '|'), '') AS reasons, content_sha256
+       |FROM r ORDER BY path""".stripMargin
   }
 
   val q28TextQuality: String =

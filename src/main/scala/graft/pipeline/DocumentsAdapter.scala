@@ -34,19 +34,72 @@ object DocumentsAdapter {
     // (it stays active for the code corpus, where langid is accurate).
     langMargin = Double.MaxValue)
 
-  /** One pipeline run per (session, input dir), shared by the query views
-    * below: q30 and q31 are two projections of the SAME QualityResult, so
-    * the models are trained once per input instead of once per query
-    * (training twice for one logical run is pure waste at any scale).
+  /** q44's oracle-mode config: model stages inert, and thresholds tightened
+    * to the documents table's actual metric distributions (n_chars p25/p75 ≈
+    * 176/419, alnum_ratio ≈ 0.79–0.85, mean_word_len ≈ 3.7–5.3) so EVERY
+    * DuckDB-expressible rule fires on a real slice of the data — a
+    * value-exact gate where no rule ever fires would prove nothing about
+    * the rule math.
     */
-  private val runs = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), QualityResult]
+  val q44Config: QualityFilter.Config = docConfig.copy(
+    models = false,
+    maxLineLen = 450, maxAvgLineLen = 500.0,
+    minAlnumRatio = 0.815,
+    minMeanWordLen = 4.3, maxMeanWordLen = 4.8,
+    iqrK = 0.5)
 
-  private def sharedRun(s: SparkSession, dir: String): QualityResult = {
-    // evict entries of stopped sessions: their cached plans/broadcasts are
-    // unusable and would otherwise pin the dead session for the JVM's life
-    runs.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
-    runs.getOrElseUpdate((s, dir),
-      QualityFilter.run(fromDocuments(Tables.documents(s, dir)), docConfig))
+  /** One pipeline run per (session, input dir, mode, input fingerprint),
+    * shared by the query views below: q30 and q31 are two projections of
+    * the SAME QualityResult, so the models are trained once per input
+    * instead of once per query (training twice for one logical run is pure
+    * waste at any scale). The fingerprint — a driver-side hash of the
+    * parquet file names/sizes/mtimes under the dir, no data scan — keys the
+    * memo on the input's CONTENT identity, so a changed input never serves
+    * a stale run.
+    */
+  private val runs = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Boolean, Long), QualityResult]
+
+  private def fingerprint(dir: String): Long = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    import scala.util.Using
+    val p = Paths.get(dir, "documents.parquet")
+    if (!Files.exists(p)) 0L
+    else Using.resource(Files.walk(p)) { st =>
+      st.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+        .map(f => s"${f.getFileName}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}")
+        .sorted
+        .foldLeft(-3750763034362895579L) { (h, s) => // FNV-1a 64
+          s.foldLeft(h)((x, c) => (x ^ c) * 1099511628211L)
+        }
+    }
+  }
+
+  private def sharedRun(s: SparkSession, dir: String, models: Boolean = true): QualityResult = {
+    val fp = fingerprint(dir)
+    // evict entries of stopped sessions (their cached plans/broadcasts are
+    // unusable and would otherwise pin the dead session for the JVM's life)
+    // and entries whose input changed on disk since the run
+    runs.filterInPlace { case ((sess, d, _, f), res) =>
+      val live = !sess.sparkContext.isStopped
+      val fresh = d != dir || f == fp
+      if (live && !fresh) res.unpersist()
+      live && fresh
+    }
+    runs.getOrElseUpdate((s, dir, models, fp),
+      QualityFilter.run(fromDocuments(Tables.documents(s, dir)),
+        if (models) docConfig else q44Config))
+  }
+
+  /** Bench/test hook: drop all memoized runs and their caches, so a timed
+    * end-to-end run measures training + scoring, not a previous run's cache.
+    */
+  def clearCache(): Unit = {
+    runs.foreach { case ((sess, _, _, _), res) =>
+      if (!sess.sparkContext.isStopped) res.unpersist()
+    }
+    runs.clear()
   }
 
   /** Flagship query: full quality-filter over the documents table. Output is
@@ -66,4 +119,23 @@ object DocumentsAdapter {
   /** Rule-hit metrics table for the same (shared) run. */
   def metricsQuery(s: SparkSession, dir: String): DataFrame =
     sharedRun(s, dir).metrics.orderBy("lang", "metric")
+
+  /** The flagship's DuckDB-oracled mode (q44): the SAME pipeline code path
+    * with model stages inert (Config.models = false) — every heuristic rule
+    * plus the per-lang length-IQR fence, the reason array in spec order,
+    * keep, and the content sha — all value-exact against
+    * [[graft.operators.PipelineSql.q44QfHeuristics]]. This converts q30's
+    * rule math from rows-only to rows+schema+hash checked.
+    */
+  def qfHeuristicsQuery(s: SparkSession, dir: String): DataFrame = {
+    val res = sharedRun(s, dir, models = false)
+    res.slim.select(
+      col("path"), col("lang"),
+      col("n_chars").cast("long").as("n_chars"),
+      col("n_words").cast("long").as("n_words"),
+      col("keep"),
+      concat_ws("|", col("drop_reasons")).as("reasons"),
+      col("content_sha256"))
+      .orderBy("path")
+  }
 }

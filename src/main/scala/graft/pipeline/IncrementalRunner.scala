@@ -37,7 +37,7 @@ object IncrementalRunner {
       val res = QualityFilter.run(batch, cfg)
       output.append(res.slim, outKey(v))
       metricsOut.append(res.metrics.withColumn("input_version", lit(v)), metricsKey(v))
-      res.slim.unpersist()
+      res.unpersist()
     }
     pending
   }

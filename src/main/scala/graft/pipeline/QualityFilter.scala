@@ -15,10 +15,16 @@ case class Scored(
     lang_pred: String, lang_margin: Double, ppl: Double)
 
 /** Output bundle: labeled rows (full, lazy — includes content/scrubbed),
-  * a cached slim projection (no content/scrubbed; the write/metrics
-  * source), rule-hit metrics, per-partition lineage.
+  * a slim projection over the run's cache (no content/scrubbed; the
+  * write/metrics source), rule-hit metrics, per-partition lineage.
   */
-case class QualityResult(labeled: DataFrame, slim: DataFrame, metrics: DataFrame, lineage: DataFrame)
+case class QualityResult(labeled: DataFrame, slim: DataFrame, metrics: DataFrame,
+    lineage: DataFrame, private val caches: Seq[Dataset[_]] = Nil) {
+  /** Drop the run's internal caches (the slim core projection and, if
+    * enabled, the input) once the outputs have been consumed.
+    */
+  def unpersist(): Unit = caches.foreach(_.unpersist())
+}
 
 /** The flagship quality-filter pipeline (BASELINE.json north rule): langid +
   * perplexity + heuristic rules + statistical fences + PII scrub over the
@@ -54,7 +60,14 @@ object QualityFilter {
       langMargin: Double = 0.05,
       pplSigmaK: Double = 3.0,
       iqrK: Double = 1.5,
-      cache: Boolean = true)
+      cache: Boolean = true,
+      /** false = model stages inert: no training job, lang_pred := lang and
+        * ppl := 0, which self-disables the lang_mismatch and ppl_outlier
+        * rules (0 > 0 + k·0 never fires) while every heuristic rule and the
+        * length IQR fence run unchanged. This is the DuckDB-expressible
+        * subset of the pipeline — the q44 value-exact oracle mode.
+        */
+      models: Boolean = true)
 
   /** One-pass broadcast-model scoring (mapPartitions-batched inference). */
   def score(
@@ -104,38 +117,62 @@ object QualityFilter {
 
   def run(corpus: Dataset[SourceFile], cfg: Config = Config()): QualityResult = {
     val spark = corpus.sparkSession
+    import spark.implicits._
     val input = if (cfg.cache) corpus.persist(StorageLevel.MEMORY_AND_DISK) else corpus
-    // fused single-pass training of both broadcast models (one job)
-    val trained = graft.lm.Models.train(input)
-    val langModel = spark.sparkContext.broadcast(trained.langId)
-    val pplModel = spark.sparkContext.broadcast(trained.ppl)
-    val scored = score(input, langModel, pplModel)
+    val scored: Dataset[Scored] =
+      if (cfg.models) {
+        // fused single-pass training of both broadcast models (one job)
+        val trained = graft.lm.Models.train(input)
+        val langModel = spark.sparkContext.broadcast(trained.langId)
+        val pplModel = spark.sparkContext.broadcast(trained.ppl)
+        score(input, langModel, pplModel)
+      } else {
+        // inert model stages (cfg.models scaladoc): no training job at all
+        input.map(f => Scored(f.repo, f.path, f.commit, f.lang, f.content,
+          f.lang, 0.0, 0.0))
+      }
     val withM = TextMetrics.withMetrics(scored.toDF())
+    // Everything content-derived that does NOT depend on the per-lang stats
+    // — scores, metrics, content/scrubbed shas — is computed in ONE pass,
+    // then content is dropped and the slim core cached. Round 2 ran the
+    // scoring+metrics pass twice (once for the stats job, once to
+    // materialize the slim cache); now the stats job IS the materialization
+    // of the only content pass after training.
+    val slimCore = withM
+      .withColumn("content_sha256", Scrub.sha256Hex(col("content")))
+      .withColumn("scrubbed_sha256", Scrub.sha256Hex(Scrub.scrub(col("content"))))
+      .drop("content")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // Per-lang stats are one row per lang: materialize them eagerly into a
     // LocalRelation (a bounded driver-side collect, same shape as the model
     // broadcast) so every downstream action — metrics, lineage, the write —
     // gets the broadcast side for free instead of re-running the stats job,
     // and nothing content-bearing is ever cached.
-    val statsDistributed = langStats(withM.select(col("lang"), col("ppl"), col("n_chars")))
+    val statsDistributed = langStats(slimCore.select(col("lang"), col("ppl"), col("n_chars")))
     val stats = spark.createDataFrame(
       java.util.Arrays.asList(statsDistributed.collect(): _*), statsDistributed.schema)
-    val joined = withM.join(broadcast(stats), Seq("lang"), "left")
 
     val reasons = reasonExprs(cfg)
     val reasonArr = filter(
       array(reasons.map { case (n, c) => when(c, lit(n)) }: _*),
       x => x.isNotNull)
-    val labeled = joined
+    def label(df: DataFrame): DataFrame = df
+      .join(broadcast(stats), Seq("lang"), "left")
       .withColumn("drop_reasons", reasonArr)
       .withColumn("keep", size(col("drop_reasons")) === 0)
+
+    // full labeled view (with content + scrubbed text) recomputes lazily
+    // from the input for callers that need the text; the slim path below
+    // never re-reads content
+    val labeled = label(withM
       .withColumn("content_sha256", Scrub.sha256Hex(col("content")))
       .withColumn("scrubbed", Scrub.scrub(col("content")))
-      .withColumn("scrubbed_sha256", Scrub.sha256Hex(col("scrubbed")))
+      .withColumn("scrubbed_sha256", Scrub.sha256Hex(col("scrubbed"))))
 
-    // the slim projection is the single materialization point: metrics,
-    // lineage, and the output write all read this cache instead of
-    // re-evaluating score+scrub+sha per action
-    val slim = labeled.drop("content", "scrubbed").persist(StorageLevel.MEMORY_AND_DISK)
+    // the slim projection: metrics, lineage, and the output write all read
+    // the slimCore cache — the label step on top is a broadcast join of
+    // |langs| rows plus codegen'd predicates, negligible per action
+    val slim = label(slimCore)
 
     // rule-hit metrics per lang: (lang, metric, n)
     val totals = slim.groupBy(col("lang")).agg(
@@ -157,7 +194,8 @@ object QualityFilter {
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
         countDistinct(col("repo")).as("n_repos"))
 
-    QualityResult(labeled, slim, metrics, lineage)
+    QualityResult(labeled, slim, metrics, lineage,
+      caches = if (cfg.cache) Seq(slimCore, input) else Seq(slimCore))
   }
 
   /** Salted size-balanced output write (north rule: repartitionByRange on

@@ -153,6 +153,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a.map(_._1).distinct.size == q.count())
   }
 
+  test("IVF exhaustive mode (nprobe = nlist) equals brute force row-for-row") {
+    // probing every cell makes the inverted-file search arithmetically
+    // identical to the brute-force scan — this is q45's claim, and why the
+    // q25 DuckDB oracle value-checks the whole IVF pipeline
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") % 97 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq.sorted
+    val brute = rows(Ann.bruteForceTopK(q, e, "vec_id", "embedding", 3))
+    val ivf = rows(Ann.ivfTopK(q, e, "vec_id", "embedding", 3, nlist = 16, nprobe = 16))
+    assert(ivf == brute)
+  }
+
   test("native CosineSim expression is bit-identical to the HOF formulation") {
     val e = Tables.embeddings(spark, dir).limit(200)
     val a = e.select(col("vec_id").as("a_id"), col("embedding").as("va"))

@@ -143,7 +143,7 @@ class QualityFilterSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft-balance-").toString
     val res = QualityFilter.run(Corpus.generate(spark, 20000, seed = 21, numParts = 8))
     QualityFilter.writeLabeled(res.slim, dir, parts = 16)
-    res.slim.unpersist()
+    res.unpersist()
     val sizes = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
       .iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet"))
@@ -153,6 +153,28 @@ class QualityFilterSpec extends AnyFunSuite {
     info(s"output file sizes: min=${sizes.min} median=$median max=${sizes.max}")
     assert(sizes.max <= median * 3,
       s"skewed output: max=${sizes.max} vs median=$median — hot repo not split")
+  }
+
+  test("models=false mode: model rules inert, heuristic reasons identical to the full run") {
+    // the q44 oracle mode: same pipeline code path, no training job,
+    // lang_pred := lang and ppl := 0 — the reason arrays must equal the full
+    // run's minus exactly the two model rules (the length-IQR fence is
+    // model-independent and must be byte-identical)
+    val inert = QualityFilter.run(corpus, QualityFilter.Config(models = false, cache = false))
+    val inertRows = inert.slim
+      .select("repo", "path", "commit", "drop_reasons", "content_sha256")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getSeq[String](3).toList, r.getString(4))))
+      .toMap
+    inert.unpersist()
+    assert(inertRows.size == engineRows.size)
+    val modelRules = Set("lang_mismatch", "ppl_outlier")
+    engineRows.foreach { case (k, (_, fullReasons, sha, _)) =>
+      val (inertReasons, inertSha) = inertRows(k)
+      assert(inertReasons == fullReasons.filterNot(modelRules), s"$k: $inertReasons vs $fullReasons")
+      assert(inertSha == sha)
+    }
   }
 
   test("metrics and lineage tables are consistent with labels") {
