@@ -106,7 +106,7 @@ object Bench {
         val res = QualityFilter.run(corpus, QualityFilter.Config(cache = false))
         QualityFilter.writeLabeled(res.slim, outPath)
         res.metrics.write.mode("overwrite").parquet(outPath + "_metrics")
-        res.slim.unpersist()
+        res.unpersist()
       }
       val (s1, t1) = cpuTicks
       val l1 = loadavg1
@@ -242,12 +242,19 @@ object Bench {
                           probeEnd(8) / (4.0 * probeEnd(2)))
 
     // ---- headline operator queries at sf dir ----
-    // fresh session, engine-default confs, one warmup + one timed run each
+    // fresh session, engine-default confs, one warmup + one timed run each.
+    // q30 is special-cased: its result is memoized per input (q30/q31 are
+    // two projections of ONE pipeline run, by design), so the memo is
+    // cleared between warmup and timing — the timed q30 is the full
+    // train+score+label run (JIT/codegen warm), not a cache read. q31 then
+    // deliberately measures the incremental metrics projection over the
+    // shared run, which is its production shape.
     spark = GraftSession.local(topLevel, "graft-bench-queries")
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec =
         try {
           fn(spark, sfDir).count() // warm: plan + codegen + broadcast once
+          if (name == "q30_quality_filter") graft.pipeline.DocumentsAdapter.clearCache()
           val (_, s) = timed(fn(spark, sfDir).count())
           s
         } catch {
@@ -268,13 +275,19 @@ object Bench {
       f"""{"metric":"qf_files_per_sec_local32","value":$tp32%.1f,"unit":"files/sec","queries":$qs,"sf":"$sfDir","qf":{"files":$nFiles,"rounds":$rounds,"local2_sec":$sec2%.2f,"local8_sec":$sec8%.2f,"local32_sec":$sec32%.2f,"local2_files_per_sec":$tp2%.1f,"local8_files_per_sec":$tp8%.1f,"local32_files_per_sec":$tp32%.1f,"median_local2_files_per_sec":$tpMed2%.1f,"median_local8_files_per_sec":$tpMed8%.1f,"median_local32_files_per_sec":$tpMed32%.1f,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"median_scaling_efficiency_2_to_8":$effMed28%.3f,"median_scaling_efficiency_8_to_32":$effMed832%.3f,"host_ceiling_2_to_8":$ceil28%.3f,"host_ceiling_8_to_32":$ceil832%.3f,"cpu_probe_start":${probeJson(probeStart)},"cpu_probe_end":${probeJson(probeEnd)},"preflight_wait_sec":$waitedSec%.0f,"load_at_start":$loadAtStart%.2f,"samples":$sampleJson,"scale":{"files":$scaleFiles,"local8_files_per_sec":$scTp8%.1f,"local32_files_per_sec":$scTp32%.1f,"scaling_efficiency_8_to_32":$scEff832%.3f,"samples":${scaleSamples.map(s => f"""{"level":${s.level},"round":${s.round},"sec":${s.sec}%.2f,"load_before":${s.load0}%.2f,"load_after":${s.load1}%.2f,"steal_frac":${s.steal}%.3f,"probe32_mops":${s.probe32}%.0f}""").mkString("[", ",", "]")}}},"queries_total_sec":${queryTimes.map(_._2).sum}%.2f}"""
     println(json)
 
-    // best-effort BENCH.md update
+    // Best-effort markdown artifact. Written to a bench-owned path (NOT the
+    // committed BENCH.md): every invocation — including the driver's own
+    // noisy runs — used to overwrite BENCH.md and dirty the git tree; now
+    // updating the committed artifact is a deliberate builder action
+    // (SPARK_GRAFT_BENCH_MD=/root/repo/BENCH.md).
+    val mdPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_MD", s"$work/BENCH.md")
     try {
-      // rows are embedded in a stripMargin template: each continuation line
-      // needs its own margin marker or stripMargin eats the leading '|'
+      // rows are embedded in a stripMargin template: each row supplies its
+      // own margin marker, so the separator adds exactly ONE '|' per line
+      // (a double '||' would survive stripMargin as a spurious empty cell)
       val sampleRows = samples.map { s =>
         f"| local[${s.level}] | ${s.round} | ${s.sec}%.2f | ${nFiles / s.sec}%.0f | ${s.load0}%.2f → ${s.load1}%.2f | ${s.steal * 100}%.1f%% | ${s.probe32}%.0f |"
-      }.mkString("\n           ||")
+      }.mkString("\n           |")
       val md =
         f"""# BENCH — measured numbers
            |
@@ -316,11 +329,16 @@ object Bench {
            |$sampleRows
            |
            |Headline query seconds at `$sfDir` (fresh default-conf local[32]
-           |session, one warmup + one timed run per query):
+           |session, one warmup + one timed run per query). q30/q31 are two
+           |projections of ONE shared pipeline run: the run memo is cleared
+           |between q30's warmup and its timed run, so q30 measures the full
+           |train+score+label pipeline (JIT-warm), while q31 deliberately
+           |measures the incremental metrics projection over that shared run:
            |
            |$qs
            |""".stripMargin
-      Files.writeString(Paths.get("/root/repo/BENCH.md"), md)
+      Files.writeString(Paths.get(mdPath), md)
+      System.err.println(s"[bench] markdown artifact: $mdPath")
     } catch { case _: Throwable => () }
   }
 }
