@@ -61,6 +61,7 @@ object SparkEntry {
     "q43_iqr_sublist"     -> (SeriesQueries.q43IqrSublist _),
     "q44_qf_heuristics"   -> (DocumentsAdapter.qfHeuristicsQuery _),
     "q45_ann_ivf_exact"   -> (PipelineQueries.q45AnnIvfExact _),
+    "q46_qf_heur_metrics" -> (DocumentsAdapter.qfHeuristicMetricsQuery _),
     // flagship pipeline (not SQL-expressible: broadcast-model stages) —
     // driver records rows-only checks for these two.
     "q30_quality_filter"  -> (DocumentsAdapter.qualityFilterQuery _),
@@ -107,5 +108,7 @@ object SparkEntry {
     "q44_qf_heuristics"   -> PipelineSql.q44QfHeuristics,
     // IVF with nprobe = nlist is arithmetically brute force — same oracle
     "q45_ann_ivf_exact"   -> PipelineSql.q25AnnBrute,
+    // the K1 metrics-sink shape of the same inert-model run
+    "q46_qf_heur_metrics" -> PipelineSql.q46QfHeuristicMetrics,
   )
 }

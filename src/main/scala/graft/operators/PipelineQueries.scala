@@ -273,7 +273,29 @@ object PipelineSql {
     * drift. quantile_cont matches Spark's exact `percentile` interpolation
     * (the q03/q13 precedent, unrounded).
     */
-  val q44QfHeuristics: String = {
+  val q44QfHeuristics: String =
+    qfHeuristicCtes +
+      """SELECT path, lang, n_chars, n_words, len(rl) = 0 AS keep,
+        |  COALESCE(array_to_string(rl, '|'), '') AS reasons, content_sha256
+        |FROM r ORDER BY path""".stripMargin
+
+  /** q46: the rule-hit metrics table of the same inert-model run — (lang,
+    * metric, n) with files/kept totals and per-reason counts, the K1
+    * report-sink shape value-checked (q31's full-model twin stays
+    * rows-only: its counts depend on the trained models).
+    */
+  val q46QfHeuristicMetrics: String =
+    qfHeuristicCtes +
+      """SELECT lang, metric, n FROM (
+        |  SELECT lang, 'files' AS metric, CAST(COUNT(*) AS BIGINT) AS n FROM r GROUP BY lang
+        |  UNION ALL
+        |  SELECT lang, 'kept', CAST(SUM(CASE WHEN len(rl) = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM r GROUP BY lang
+        |  UNION ALL
+        |  SELECT lang, 'reason:' || reason, CAST(COUNT(*) AS BIGINT)
+        |  FROM (SELECT lang, unnest(rl) AS reason FROM r) GROUP BY 1, 2
+        |) ORDER BY lang, metric""".stripMargin
+
+  private lazy val qfHeuristicCtes: String = {
     val cfg = graft.pipeline.DocumentsAdapter.q44Config
     s"""WITH t AS (
        |  SELECT 'doc/' || doc_id AS path, lang, text,
@@ -311,9 +333,7 @@ object PipelineSql {
        |    ], x -> x IS NOT NULL) AS rl
        |  FROM d JOIN s USING (lang)
        |)
-       |SELECT path, lang, n_chars, n_words, len(rl) = 0 AS keep,
-       |  COALESCE(array_to_string(rl, '|'), '') AS reasons, content_sha256
-       |FROM r ORDER BY path""".stripMargin
+       |""".stripMargin
   }
 
   val q28TextQuality: String =

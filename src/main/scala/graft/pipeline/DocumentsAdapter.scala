@@ -127,6 +127,14 @@ object DocumentsAdapter {
     * [[graft.operators.PipelineSql.q44QfHeuristics]]. This converts q30's
     * rule math from rows-only to rows+schema+hash checked.
     */
+  /** q46: the rule-hit metrics table of the same inert-model run — the K1
+    * report-sink shape value-checked against a DuckDB twin (q31, its
+    * full-model sibling, stays rows-only: those counts depend on the
+    * trained models).
+    */
+  def qfHeuristicMetricsQuery(s: SparkSession, dir: String): DataFrame =
+    sharedRun(s, dir, models = false).metrics.orderBy("lang", "metric")
+
   def qfHeuristicsQuery(s: SparkSession, dir: String): DataFrame = {
     val res = sharedRun(s, dir, models = false)
     res.slim.select(
