@@ -45,20 +45,47 @@ object LangId {
       val logPrior: Array[Double],
       val logProb: Array[Array[Double]]) extends Serializable {
 
+    /** Reusable per-thread scratch for [[predict]]: dense trigram counts +
+      * touched-bucket list. The model is a shared broadcast, so the scratch
+      * is thread-local; it replaces the profiled per-document LongMap
+      * (hashing + boxing per trigram) with two array writes per trigram and
+      * an exact reset of only the touched slots.
+      */
+    @transient private lazy val scratch =
+      ThreadLocal.withInitial[(Array[Int], Array[Int])](() =>
+        (new Array[Int](Buckets), new Array[Int](Buckets)))
+
     /** Returns (bestLang, margin) — margin is the per-trigram log-odds gap
       * between best and runner-up (confidence for the lang_mismatch rule).
+      * Scores accumulate c·logProb per DISTINCT bucket in first-occurrence
+      * order — deterministic (a pure function of content; the engine and
+      * the sequential oracle share this one implementation).
       */
     def predict(content: String): (String, Double) = {
       if (langs.length == 0) return ("und", 0.0)
-      val bs = docBuckets(content)
+      val (counts, touched) = scratch.get()
+      var nTouched = 0
+      var i = 0
+      val n = content.length
+      while (i + 2 < n) {
+        val b = bucket(content.charAt(i), content.charAt(i + 1), content.charAt(i + 2))
+        if (counts(b) == 0) { touched(nTouched) = b; nTouched += 1 }
+        counts(b) += 1
+        i += 1
+      }
       var total = 0L
       val scores = new Array[Double](langs.length)
       var l = 0
       while (l < langs.length) { scores(l) = logPrior(l); l += 1 }
-      bs.foreachEntry { (b, c) =>
+      var t = 0
+      while (t < nTouched) {
+        val b = touched(t)
+        val c = counts(b)
+        counts(b) = 0 // exact reset as we go — scratch is clean for the next doc
         total += c
         var k = 0
-        while (k < langs.length) { scores(k) += c * logProb(k)(b.toInt); k += 1 }
+        while (k < langs.length) { scores(k) += c.toDouble * logProb(k)(b); k += 1 }
+        t += 1
       }
       var best = 0
       var second = -1

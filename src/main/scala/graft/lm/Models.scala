@@ -60,18 +60,13 @@ object Models {
           triArr(LangId.bucket(c.charAt(i), c.charAt(i + 1), c.charAt(i + 2))) += 1
           i += 1
         }
-        val ts = Perplexity.tokens(f.content)
-        if (ts.nonEmpty) {
-          var prev = Perplexity.uniBucket(ts(0))
-          uni(prev) += 1
-          var j = 1
-          while (j < ts.length) {
-            val cur = Perplexity.uniBucket(ts(j))
-            uni(cur) += 1
-            bi(Perplexity.biBucket(prev, cur)) += 1
-            prev = cur
-            j += 1
-          }
+        // allocation-free token-bucket stream (same buckets as tokens());
+        // counts are integers, so the model is unchanged
+        var prev = -1
+        Perplexity.foreachTokenBucket(c) { cur =>
+          uni(cur) += 1
+          if (prev >= 0) bi(Perplexity.biBucket(prev, cur)) += 1
+          prev = cur
         }
       }
       def nonzero(kind: Int, lang: String, arr: Array[Long]): Iterator[(Int, String, Int, Long)] =

@@ -24,27 +24,56 @@ object Perplexity {
   @inline def biBucket(b1: Int, b2: Int): Int =
     ((b1 * 31 + b2) & 0x7fffffff) % Buckets
 
-  /** Whitespace tokenization, empties dropped — must match the oracle. */
+  /** Whitespace tokenization, empties dropped — the SPEC form (kept for the
+    * differential test; the hot paths use [[foreachTokenBucket]]).
+    */
   def tokens(s: String): Array[String] =
     s.split("\\s+", -1).filter(_.nonEmpty)
 
-  final class Model(val uni: Array[Long], val bi: Array[Long]) extends Serializable {
-    /** exp(mean negative log prob) over bigrams; 0.0 for docs with <2 tokens. */
-    def perplexity(content: String): Double = {
-      val ts = tokens(content)
-      if (ts.length < 2) return 0.0
-      var nll = 0.0
-      var prev = uniBucket(ts(0))
-      var i = 1
-      while (i < ts.length) {
-        val cur = uniBucket(ts(i))
-        val b12 = biBucket(prev, cur)
-        val p = (bi(b12) + K) / (uni(prev) + K * Buckets)
-        nll -= math.log(p)
-        prev = cur
-        i += 1
+  /** Java regex \s is exactly this ASCII set (no UNICODE_CHARACTER_CLASS). */
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000b' || c == '\f' || c == '\r'
+
+  /** Visits `uniBucket(token)` for every whitespace-separated token WITHOUT
+    * allocating substrings (or recompiling the split regex per call, which
+    * is what `String.split("\\s+")` does — the profiled hot spot of both
+    * training and scoring). `String.hashCode` is specified as the
+    * left-to-right fold h = 31·h + c over the chars, so the running hash of
+    * each maximal non-\s run is IDENTICAL to `tokens(s).map(uniBucket)` —
+    * asserted by a differential spec.
+    */
+  def foreachTokenBucket(s: String)(f: Int => Unit): Unit = {
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && isWs(s.charAt(i))) i += 1
+      if (i < n) {
+        var h = 0
+        while (i < n && !isWs(s.charAt(i))) { h = 31 * h + s.charAt(i); i += 1 }
+        f((h & 0x7fffffff) % Buckets)
       }
-      math.exp(nll / (ts.length - 1))
+    }
+  }
+
+  final class Model(val uni: Array[Long], val bi: Array[Long]) extends Serializable {
+    /** exp(mean negative log prob) over bigrams; 0.0 for docs with <2
+      * tokens. Left-to-right fold over the allocation-free bucket stream —
+      * bit-identical to the round-2 tokens()-array formulation (same
+      * buckets, same summation order).
+      */
+    def perplexity(content: String): Double = {
+      var nll = 0.0
+      var prev = -1
+      var count = 0
+      foreachTokenBucket(content) { cur =>
+        if (prev >= 0) {
+          val b12 = biBucket(prev, cur)
+          nll -= math.log((bi(b12) + K) / (uni(prev) + K * Buckets))
+        }
+        prev = cur
+        count += 1
+      }
+      if (count < 2) 0.0 else math.exp(nll / (count - 1))
     }
   }
 

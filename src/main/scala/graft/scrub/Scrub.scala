@@ -28,14 +28,99 @@ object Scrub {
     ("secret", "(?i)\\b(api[_-]?key|secret|token|password)(\\s*[:=]\\s*)\\S+", "$1$2<SECRET>")
   )
 
-  /** Cheap literal pre-conditions per rule: the regex cannot match unless
-    * the literal occurs in the ORIGINAL text (no replacement token ever
-    * introduces them), so an indexOf check skips the full regex pass on
-    * most rows. Applied inside the native expression / scrubString — never
-    * as nested `when` columns (that duplicates the accumulated expression
-    * tree exponentially).
+  /** One-pass trigger scan over the ORIGINAL text: computes, per rule, a
+    * provably NECESSARY condition for its pattern to match, so untriggered
+    * rules skip their full regex scan (the profiled #1 hot spot of the
+    * pipeline — 5 regex scans per row became one cheap char scan for clean
+    * rows). Necessity arguments:
+    *   email    — the pattern contains a mandatory '@'
+    *   aws_key  — mandatory literal "AKIA"
+    *   ipv4     — `(?:\d{1,3}\.){3}` puts a '.' right after a digit
+    *   phone    — `\d{1,3}[-. ]` puts '-', '.' or ' ' right after a digit
+    *   secret   — one of api/secret/token/password must appear (any case)
+    * Guarding on the ORIGINAL text across the ordered chain is sound
+    * because no replacement token (`<EMAIL>`, `<AWS_KEY>`, `<IP>`,
+    * `<PHONE>`, `<SECRET>`) contains any trigger for a LATER rule — so a
+    * rule that could not match the original cannot be enabled mid-chain.
+    * False positives only cost a redundant regex scan; the
+    * native-vs-regexp_replace-chain byte-equality spec (the chain runs
+    * every rule unconditionally) would catch any false negative.
     */
-  val guards: Map[String, String] = Map("email" -> "@", "aws_key" -> "AKIA")
+  private[scrub] def triggerMask(s: String): Int = {
+    val n = s.length
+    var mask = 0
+    var digitDots = 0 // positions where a digit is followed by '.'
+    var digitRun = 0 // current consecutive-digit run length
+    var run3 = false // saw >= 3 consecutive digits
+    var digitSep = false // saw digit followed by '-', '.' or ' '
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c < 128 && interesting(c)) {
+        if (c <= '9') { // table ⇒ c is a digit here
+          digitRun += 1
+          if (digitRun >= 3) run3 = true
+          if (i + 1 < n) {
+            val d = s.charAt(i + 1)
+            if (d == '.') { digitDots += 1; digitSep = true }
+            else if (d == '-' || d == ' ') digitSep = true
+          }
+        } else {
+          if (c == '@') mask |= TEmail
+          else if (c == 'A' && i + 3 < n && s.charAt(i + 1) == 'K' &&
+            s.charAt(i + 2) == 'I' && s.charAt(i + 3) == 'A') mask |= TAws
+          if ((mask & TSecret) == 0) {
+            val lc = (c | 0x20).toChar
+            if ((lc == 's' && ciFollows(s, i + 1, "ecret")) ||
+              (lc == 't' && ciFollows(s, i + 1, "oken")) ||
+              (lc == 'p' && ciFollows(s, i + 1, "assword")) ||
+              (lc == 'a' && ciFollows(s, i + 1, "pi"))) mask |= TSecret
+          }
+          digitRun = 0
+        }
+      } else digitRun = 0
+      i += 1
+    }
+    // `(?:\d{1,3}\.){3}` needs at least three digit-then-'.' positions;
+    // `\d{1,3}[-. ]\(?\d{3}` needs both a digit-then-separator and a run of
+    // three digits — both strictly necessary, so rows of sparse prose/code
+    // numbers ("v1.2", "line 42") skip the two priciest regexes entirely
+    if (digitDots >= 3) mask |= TIpv4
+    if (digitSep && run3) mask |= TPhone
+    mask
+  }
+
+  /** Chars that can START any trigger (first char of every necessary
+    * literal is ASCII, so non-ASCII and uninteresting chars short-circuit
+    * the scan to one table load per char).
+    */
+  private val interesting: Array[Boolean] = {
+    val t = new Array[Boolean](128)
+    "0123456789@AastpSTP".foreach(c => t(c) = true)
+    t
+  }
+
+  private final val TEmail = 1
+  private final val TAws = 2
+  private final val TIpv4 = 4
+  private final val TPhone = 8
+  private final val TSecret = 16
+  private final val AllTriggers = 31
+  private val triggerBits: Map[String, Int] = Map(
+    "email" -> TEmail, "aws_key" -> TAws, "ipv4" -> TIpv4,
+    "phone" -> TPhone, "secret" -> TSecret)
+
+  /** ASCII case-insensitive "s continues with `word` at `from`". */
+  @inline private def ciFollows(s: String, from: Int, word: String): Boolean = {
+    if (from + word.length > s.length) return false
+    var j = 0
+    while (j < word.length) {
+      val c = s.charAt(from + j)
+      if (c != word.charAt(j) && (c | 0x20) != word.charAt(j)) return false
+      j += 1
+    }
+    true
+  }
 
   /** Column form: ONE native expression evaluating the whole ordered chain
     * per row (single UTF8String↔String conversion, compiled patterns,
@@ -48,13 +133,16 @@ object Scrub {
     rules.foldLeft(c) { case (acc, (_, pat, rep)) => regexp_replace(acc, pat, rep) }
 
   /** Sequential form — the single implementation the oracle AND the native
-    * expression share. Guards check the original text (see [[guards]]).
+    * expression share. Triggers check the original text (see
+    * [[triggerMask]]); clean rows pay one char scan, no regex at all.
     */
   def scrubString(s: String): String = {
+    val mask = triggerMask(s)
+    if (mask == 0) return s
     var acc = s
-    rules.foreach { case (name, pat, rep) =>
-      val skip = guards.get(name).exists(lit0 => s.indexOf(lit0) < 0)
-      if (!skip) acc = compiledPatterns(name).matcher(acc).replaceAll(rep)
+    rules.foreach { case (name, _, rep) =>
+      if ((mask & triggerBits(name)) != 0)
+        acc = compiledPatterns(name).matcher(acc).replaceAll(rep)
     }
     acc
   }

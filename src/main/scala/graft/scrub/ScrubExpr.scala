@@ -7,10 +7,11 @@ import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native expression form of the ordered scrub chain: one
-  * UTF8String→String conversion per row, compiled patterns, literal
-  * indexOf guards — executes [[Scrub.scrubString]] verbatim, so engine and
-  * oracle share one implementation (byte-stability for free). Generates
-  * code (a direct call inside whole-stage codegen, no eval() boxing).
+  * UTF8String→String conversion per row, compiled patterns, a single-pass
+  * necessary-condition trigger scan — executes [[Scrub.scrubString]]
+  * verbatim, so engine and oracle share one implementation (byte-stability
+  * for free). Generates code (a direct call inside whole-stage codegen, no
+  * eval() boxing).
   */
 case class ScrubExpr(child: Expression) extends UnaryExpression {
 
