@@ -73,6 +73,62 @@ object LangId {
         counts(b) += 1
         i += 1
       }
+      scoreTouched(counts, touched, nTouched)
+    }
+
+    /** Fused single-scan inference: the langid trigram counting AND the
+      * perplexity token/bigram fold run in ONE pass over the chars (the
+      * scoring stage previously scanned every document twice). Each
+      * model's arithmetic is byte-for-byte the code above/in
+      * [[Perplexity.Model.perplexity]] — same buckets, same accumulation
+      * order — so (pred, margin, ppl) is bit-identical to calling the two
+      * models separately (differential spec asserts it).
+      */
+    def predictFused(content: String, pm: Perplexity.Model): (String, Double, Double) = {
+      if (langs.length == 0) return ("und", 0.0, pm.perplexity(content))
+      val (counts, touched) = scratch.get()
+      var nTouched = 0
+      // perplexity state (mirrors Perplexity.foreachTokenBucket + Model)
+      var h = 0
+      var inTok = false
+      var prev = -1
+      var nTok = 0
+      var nll = 0.0
+      val uni = pm.uni
+      val bi = pm.bi
+      @inline def endToken(): Unit = if (inTok) {
+        val cur = (h & 0x7fffffff) % Perplexity.Buckets
+        if (prev >= 0) {
+          val b12 = Perplexity.biBucket(prev, cur)
+          nll -= math.log((bi(b12) + Perplexity.K) / (uni(prev) + Perplexity.K * Perplexity.Buckets))
+        }
+        prev = cur
+        nTok += 1
+        inTok = false
+        h = 0
+      }
+      var i = 0
+      val n = content.length
+      while (i < n) {
+        val c = content.charAt(i)
+        if (i + 2 < n) {
+          val b = bucket(c, content.charAt(i + 1), content.charAt(i + 2))
+          if (counts(b) == 0) { touched(nTouched) = b; nTouched += 1 }
+          counts(b) += 1
+        }
+        if (Perplexity.isWs(c)) endToken()
+        else { h = 31 * h + c; inTok = true }
+        i += 1
+      }
+      endToken()
+      val (lang, margin) = scoreTouched(counts, touched, nTouched)
+      val ppl = if (nTok < 2) 0.0 else math.exp(nll / (nTok - 1))
+      (lang, margin, ppl)
+    }
+
+    /** Shared scoring tail over the scratch counts (resets them exactly). */
+    private def scoreTouched(counts: Array[Int], touched: Array[Int],
+        nTouched: Int): (String, Double) = {
       var total = 0L
       val scores = new Array[Double](langs.length)
       var l = 0

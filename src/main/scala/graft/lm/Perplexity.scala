@@ -31,7 +31,7 @@ object Perplexity {
     s.split("\\s+", -1).filter(_.nonEmpty)
 
   /** Java regex \s is exactly this ASCII set (no UNICODE_CHARACTER_CLASS). */
-  @inline private def isWs(c: Char): Boolean =
+  @inline private[lm] def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000b' || c == '\f' || c == '\r'
 
   /** Visits `uniBucket(token)` for every whitespace-separated token WITHOUT

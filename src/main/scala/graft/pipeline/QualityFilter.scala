@@ -80,8 +80,8 @@ object QualityFilter {
       val lm = langModel.value
       val pm = pplModel.value
       it.map { f =>
-        val (pred, margin) = lm.predict(f.content)
-        val ppl = pm.perplexity(f.content)
+        // fused single-scan inference (bit-identical to predict+perplexity)
+        val (pred, margin, ppl) = lm.predictFused(f.content, pm)
         Scored(f.repo, f.path, f.commit, f.lang, f.content, pred, margin, ppl)
       }
     }

@@ -120,6 +120,20 @@ class QualityFilterSpec extends AnyFunSuite {
     }
   }
 
+  test("fused single-scan inference is bit-identical to predict + perplexity") {
+    val langM = LangId.train(corpus)
+    val pplM = Perplexity.train(corpus)
+    val texts = (0L until 600L).map(i => Corpus.genRow(Seed, i).content) ++
+      Seq("", " ", "a", "ab", "abc", "two words", "\tweird\n ws  mix \r")
+    texts.foreach { t =>
+      val (p1, m1) = langM.predict(t)
+      val ppl1 = pplM.perplexity(t)
+      val (p2, m2, ppl2) = langM.predictFused(t, pplM)
+      assert(p1 == p2 && m1 == m2 && ppl1 == ppl2,
+        s"fused diverges on ${t.take(40)}: ($p1,$m1,$ppl1) vs ($p2,$m2,$ppl2)")
+    }
+  }
+
   test("scrub is idempotent and removes PII patterns") {
     val texts = (0L until 500L).map(i => Corpus.genRow(Seed, i).content)
     texts.foreach { t =>
