@@ -2,7 +2,6 @@ package graft.lm
 
 import graft.core.SourceFile
 import org.apache.spark.sql.Dataset
-import scala.collection.mutable
 
 /** fastText-style language identification, built from scratch (north rule:
   * no external model files, zero egress).
@@ -26,19 +25,6 @@ object LangId {
   /** Deterministic trigram bucket: polynomial hash of 3 chars. */
   @inline def bucket(c0: Char, c1: Char, c2: Char): Int =
     ((c0 * 31 + c1) * 31 + c2) & (Buckets - 1)
-
-  /** Per-document bucket counts (single pass over content). */
-  def docBuckets(s: String): mutable.LongMap[Int] = {
-    val m = new mutable.LongMap[Int]()
-    var i = 0
-    val n = s.length
-    while (i + 2 < n) {
-      val b = bucket(s.charAt(i), s.charAt(i + 1), s.charAt(i + 2))
-      m(b) = m.getOrElse(b, 0) + 1
-      i += 1
-    }
-    m
-  }
 
   final class Model(
       val langs: Array[String],

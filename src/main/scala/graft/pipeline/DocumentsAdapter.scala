@@ -36,10 +36,14 @@ object DocumentsAdapter {
 
   /** q44's oracle-mode config: model stages inert, and thresholds tightened
     * to the documents table's actual metric distributions (n_chars p25/p75 ≈
-    * 176/419, alnum_ratio ≈ 0.79–0.85, mean_word_len ≈ 3.7–5.3) so EVERY
-    * DuckDB-expressible rule fires on a real slice of the data — a
-    * value-exact gate where no rule ever fires would prove nothing about
-    * the rule math.
+    * 176/419, alnum_ratio ≈ 0.79–0.85, mean_word_len ≈ 3.7–5.3) so every
+    * rule this corpus CAN fire does fire on a real slice (long_line,
+    * long_avg_line, low_alnum, word_len, len_outlier — 212/500 drops at
+    * sf0.01); a value-exact gate where no rule ever fires would prove
+    * nothing about the rule math. The three rules single-line clean prose
+    * cannot trigger (empty, bad_encoding, rep_lines) are value-checked on
+    * the multiline code corpus by the sequential-oracle exact-reason-array
+    * spec instead.
     */
   val q44Config: QualityFilter.Config = docConfig.copy(
     models = false,
@@ -76,21 +80,26 @@ object DocumentsAdapter {
     }
   }
 
-  private def sharedRun(s: SparkSession, dir: String, models: Boolean = true): QualityResult = {
-    val fp = fingerprint(dir)
-    // evict entries of stopped sessions (their cached plans/broadcasts are
-    // unusable and would otherwise pin the dead session for the JVM's life)
-    // and entries whose input changed on disk since the run
-    runs.filterInPlace { case ((sess, d, _, f), res) =>
-      val live = !sess.sparkContext.isStopped
-      val fresh = d != dir || f == fp
-      if (live && !fresh) res.unpersist()
-      live && fresh
+  private def sharedRun(s: SparkSession, dir: String, models: Boolean = true): QualityResult =
+    // coarse lock: TrieMap.getOrElseUpdate is not atomic for the closure,
+    // and two concurrent cold lookups would each run the full (training)
+    // pipeline with one result discarded — serializing the driver-side memo
+    // costs nothing next to a pipeline run
+    synchronized {
+      val fp = fingerprint(dir)
+      // evict entries of stopped sessions (their cached plans/broadcasts are
+      // unusable and would otherwise pin the dead session for the JVM's
+      // life) and entries whose input changed on disk since the run
+      runs.filterInPlace { case ((sess, d, _, f), res) =>
+        val live = !sess.sparkContext.isStopped
+        val fresh = d != dir || f == fp
+        if (live && !fresh) res.unpersist()
+        live && fresh
+      }
+      runs.getOrElseUpdate((s, dir, models, fp),
+        QualityFilter.run(fromDocuments(Tables.documents(s, dir)),
+          if (models) docConfig else q44Config))
     }
-    runs.getOrElseUpdate((s, dir, models, fp),
-      QualityFilter.run(fromDocuments(Tables.documents(s, dir)),
-        if (models) docConfig else q44Config))
-  }
 
   /** Bench/test hook: drop all memoized runs and their caches, so a timed
     * end-to-end run measures training + scoring, not a previous run's cache.
@@ -120,13 +129,6 @@ object DocumentsAdapter {
   def metricsQuery(s: SparkSession, dir: String): DataFrame =
     sharedRun(s, dir).metrics.orderBy("lang", "metric")
 
-  /** The flagship's DuckDB-oracled mode (q44): the SAME pipeline code path
-    * with model stages inert (Config.models = false) — every heuristic rule
-    * plus the per-lang length-IQR fence, the reason array in spec order,
-    * keep, and the content sha — all value-exact against
-    * [[graft.operators.PipelineSql.q44QfHeuristics]]. This converts q30's
-    * rule math from rows-only to rows+schema+hash checked.
-    */
   /** q46: the rule-hit metrics table of the same inert-model run — the K1
     * report-sink shape value-checked against a DuckDB twin (q31, its
     * full-model sibling, stays rows-only: those counts depend on the
@@ -135,6 +137,13 @@ object DocumentsAdapter {
   def qfHeuristicMetricsQuery(s: SparkSession, dir: String): DataFrame =
     sharedRun(s, dir, models = false).metrics.orderBy("lang", "metric")
 
+  /** The flagship's DuckDB-oracled mode (q44): the SAME pipeline code path
+    * with model stages inert (Config.models = false) — the heuristic rules
+    * plus the per-lang length-IQR fence, the reason array in spec order,
+    * keep, and the content sha — all value-exact against
+    * [[graft.operators.PipelineSql.q44QfHeuristics]]. This converts q30's
+    * rule math from rows-only to rows+schema+hash checked.
+    */
   def qfHeuristicsQuery(s: SparkSession, dir: String): DataFrame = {
     val res = sharedRun(s, dir, models = false)
     res.slim.select(

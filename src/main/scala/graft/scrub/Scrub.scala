@@ -109,6 +109,11 @@ object Scrub {
   private val triggerBits: Map[String, Int] = Map(
     "email" -> TEmail, "aws_key" -> TAws, "ipv4" -> TIpv4,
     "phone" -> TPhone, "secret" -> TSecret)
+  // completeness: every rule has a trigger bit and the bits cover AllTriggers
+  // — a rule added without one would otherwise silently never run
+  require(rules.map(_._1).toSet == triggerBits.keySet &&
+    triggerBits.values.fold(0)(_ | _) == AllTriggers,
+    "trigger bits out of sync with the rule list")
 
   /** ASCII case-insensitive "s continues with `word` at `from`". */
   @inline private def ciFollows(s: String, from: Int, word: String): Boolean = {

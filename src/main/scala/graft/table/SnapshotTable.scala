@@ -74,7 +74,28 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
       manifestReads += 1
       v += 1
     }
+    // Gap check (one directory listing per cold warm-up, skipped once the
+    // probe found at least one manifest after it): a manifest beyond the
+    // dense prefix means the log lost a version to external damage
+    // (partial restore, manual deletion). Continuing would silently
+    // re-claim the gap slot and order pre-existing snapshots AFTER it,
+    // dropping their data from `live` — fail loudly instead.
+    if (!gapChecked) {
+      gapChecked = true
+      val maxOnDisk = Using.resource(Files.list(logDir)) { stream =>
+        stream.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(_.matches("v\\d{8}\\.json"))
+          .foldLeft(-1L)((m, f) => math.max(m, f.substring(1, 9).toLong))
+      }
+      if (maxOnDisk >= v)
+        throw new IllegalStateException(
+          s"snapshot log gap: manifest v$maxOnDisk exists but v$v is missing — " +
+            "the log is damaged; refusing to commit past the gap")
+    }
   }
+
+  private var gapChecked = false
 
   private def parse(json: String): Snapshot = {
     // minimal flat-JSON parser for our own writer's output
@@ -122,10 +143,22 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
   /** Commit already-staged data dirs (relative to `root/data/`) under
     * `commitKey` — the building block of [[append]], usable directly when
     * the parquet files were written by an external job. Same idempotence
-    * and CAS semantics.
+    * and CAS semantics. Verifies the staged dirs still exist right before
+    * publishing: an external writer whose stage-to-commit window exceeded
+    * [[expireOrphans]]' age guard must fail HERE, loudly, rather than land
+    * a manifest whose `live` set references garbage-collected paths.
+    * (The race window shrinks from unbounded to the publish itself; the
+    * age guard, not this check, is the correctness contract.)
     */
-  def commitDirs(commitKey: String, added: Seq[String]): Snapshot =
+  def commitDirs(commitKey: String, added: Seq[String]): Snapshot = {
+    if (findByKey(commitKey).isEmpty) // idempotent retries skip the check
+      added.foreach { d =>
+        if (!Files.exists(dataDir.resolve(d)))
+          throw new IllegalStateException(
+            s"staged data dir '$d' does not exist (expired by orphan GC?) — refusing to commit")
+      }
     commitLoop(commitKey, added)
+  }
 
   @annotation.tailrec
   private def commitLoop(commitKey: String, added: Seq[String]): Snapshot = {

@@ -66,7 +66,11 @@ class SnapshotTableSpec extends AnyFunSuite {
 
   test("1000 commits: per-commit log work stays flat (each manifest parsed once)") {
     val t = SnapshotTable(spark, tmp())
-    (0 until 1000).foreach(i => t.commitDirs(f"k-$i%04d", Seq(f"k-$i%04d-dir")))
+    (0 until 1000).foreach { i =>
+      // commitDirs verifies staged dirs exist — stage a real (empty) one
+      Files.createDirectories(java.nio.file.Paths.get(t.root, "data", f"k-$i%04d-dir"))
+      t.commitDirs(f"k-$i%04d", Seq(f"k-$i%04d-dir"))
+    }
     assert(t.latest().get.version == 999)
     assert(t.latest().get.live.size == 1000)
     // O(new) per call: a writer's own manifests are cached at commit time,
@@ -80,11 +84,27 @@ class SnapshotTableSpec extends AnyFunSuite {
     // ...after which lookups and further commits read nothing already seen
     assert(t2.findByKey("k-0500").isDefined)
     assert(t2.manifestReads == 1000)
+    Files.createDirectories(java.nio.file.Paths.get(t.root, "data", "one-more-dir"))
     t2.commitDirs("one-more", Seq("one-more-dir"))
     assert(t2.manifestReads == 1000)
     // the first instance syncs exactly the one manifest it hasn't seen
     assert(t.latest().get.version == 1000)
     assert(t.manifestReads == 1, s"manifestReads=${t.manifestReads}")
+  }
+
+  test("a damaged log (version gap) fails loudly instead of silently dropping data") {
+    val t = SnapshotTable(spark, tmp())
+    val df = Corpus.generate(spark, 10, seed = 11, numParts = 1).toDF()
+    t.append(df, "a"); t.append(df, "b"); t.append(df, "c")
+    // externally damage the log: lose the middle manifest
+    Files.delete(java.nio.file.Paths.get(t.root, "_log", "v00000001.json"))
+    val fresh = SnapshotTable(spark, t.root)
+    val ex = intercept[IllegalStateException](fresh.latest())
+    assert(ex.getMessage.contains("gap"))
+    // commitDirs refuses to commit dirs that do not exist (orphan-GC race)
+    val t2 = SnapshotTable(spark, tmp())
+    val ex2 = intercept[IllegalStateException](t2.commitDirs("k", Seq("never-staged")))
+    assert(ex2.getMessage.contains("does not exist"))
   }
 
   test("expireOrphans removes crashed writers' staging debris, never live data") {
