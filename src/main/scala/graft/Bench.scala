@@ -29,7 +29,9 @@ import java.nio.file.{Files, Paths}
   * overcommit + steal + one memory bus bound the 8→32 pair well below 1.0
   * even for embarrassingly parallel integer hashing).
   *
-  * Also rewrites /root/repo/BENCH.md.
+  * A best-effort markdown artifact is written to a bench-owned temp path
+  * (override with SPARK_GRAFT_BENCH_MD to update the committed BENCH.md —
+  * a deliberate builder action, never a side effect of a driver run).
   */
 object Bench {
 
@@ -251,18 +253,21 @@ object Bench {
 
     // ---- headline operator queries at sf dir ----
     // fresh session, engine-default confs, one warmup + one timed run each.
-    // q30 is special-cased: its result is memoized per input (q30/q31 are
-    // two projections of ONE pipeline run, by design), so the memo is
-    // cleared between warmup and timing — the timed q30 is the full
-    // train+score+label run (JIT/codegen warm), not a cache read. q31 then
-    // deliberately measures the incremental metrics projection over the
+    // q30 and q44 are special-cased: their results are memoized per
+    // (input, mode) — q30/q31 are two projections of ONE full-model run and
+    // q44/q46 of ONE inert-model run, by design — so the memo is cleared
+    // between warmup and timing for the first query of each pair: the timed
+    // q30 is the full train+score+label run and the timed q44 the full
+    // heuristic run (JIT/codegen warm), not cache reads. q31/q46 then
+    // deliberately measure the incremental metrics projection over their
     // shared run, which is its production shape.
     spark = GraftSession.local(topLevel, "graft-bench-queries")
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec =
         try {
           fn(spark, sfDir).count() // warm: plan + codegen + broadcast once
-          if (name == "q30_quality_filter") graft.pipeline.DocumentsAdapter.clearCache()
+          if (name == "q30_quality_filter" || name == "q44_qf_heuristics")
+            graft.pipeline.DocumentsAdapter.clearCache()
           val (_, s) = timed(fn(spark, sfDir).count())
           s
         } catch {
@@ -338,10 +343,12 @@ object Bench {
            |
            |Headline query seconds at `$sfDir` (fresh default-conf local[32]
            |session, one warmup + one timed run per query). q30/q31 are two
-           |projections of ONE shared pipeline run: the run memo is cleared
-           |between q30's warmup and its timed run, so q30 measures the full
-           |train+score+label pipeline (JIT-warm), while q31 deliberately
-           |measures the incremental metrics projection over that shared run:
+           |projections of ONE shared full-model pipeline run and q44/q46 of
+           |ONE shared inert-model run: the run memo is cleared between the
+           |first query's warmup and its timed run, so q30 measures the full
+           |train+score+label pipeline and q44 the full heuristic run
+           |(JIT-warm), while q31/q46 deliberately measure the incremental
+           |metrics projection over their shared run:
            |
            |$qs
            |""".stripMargin

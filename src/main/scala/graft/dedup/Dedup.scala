@@ -78,28 +78,54 @@ object Dedup {
   }
 
   /** Exact pairwise Jaccard ≥ threshold via shingle equi-join within blocks
-    * — the shuffle key is the shingle, so frequency-skewed shingles are the
-    * hot keys (AQE skew-join handles them; a stop-shingle filter would cap
-    * them at larger scales).
+    * — the shuffle key is the (block, shingle) pair, so frequency-skewed
+    * shingles are the hot keys. `maxShingleDf` caps them: shingles whose
+    * document frequency within their block exceeds the cap are dropped from
+    * CANDIDATE GENERATION only (they still count in the exact verification
+    * of surviving candidates), the stop-word trade PPJoin-family
+    * implementations make at scale — a shingle shared by τ documents
+    * contributes ~τ² join rows but almost no Jaccard evidence. At the
+    * default (no cap) the plan is the literal naive join the DuckDB oracle
+    * runs; with a cap, a pair whose ONLY shared shingles are all hot is
+    * missed (the accepted approximation, spec-gated: testdata pairs are
+    * identical at any cap ≥ the corpus' max df, and the capped candidate
+    * row count is bounded on a skew generator).
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      blockCols: Seq[String], n: Int = 3, threshold: Double = 0.8): DataFrame = {
+      blockCols: Seq[String], n: Int = 3, threshold: Double = 0.8,
+      maxShingleDf: Long = Long.MaxValue): DataFrame = {
     requirePositiveThreshold(threshold)
     val sh = shingles(df, idCol, textCol, n, blockCols)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(blockCols.map(col) :+ col(idCol).as("a_id") :+ col("shingle"): _*)
-    val b = sh.select(blockCols.map(col) :+ col(idCol).as("b_id") :+ col("shingle"): _*)
-    val inter = a.join(b, blockCols :+ "shingle")
-      .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col(idCol).as("a_id"), col("n_sh").as("na")), "a_id")
-      .join(sizes.select(col(idCol).as("b_id"), col("n_sh").as("nb")), "b_id")
-      .withColumn("j", round(col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter")), 6))
-      .filter(col("j") >= threshold)
-      .select(col("a_id"), col("b_id"), col("j"))
+    if (maxShingleDf == Long.MaxValue) {
+      val a = sh.select(blockCols.map(col) :+ col(idCol).as("a_id") :+ col("shingle"): _*)
+      val b = sh.select(blockCols.map(col) :+ col(idCol).as("b_id") :+ col("shingle"): _*)
+      val inter = a.join(b, blockCols :+ "shingle")
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col(idCol).as("a_id"), col("n_sh").as("na")), "a_id")
+        .join(sizes.select(col(idCol).as("b_id"), col("n_sh").as("nb")), "b_id")
+        .withColumn("j", round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6))
+        .filter(col("j") >= threshold)
+        .select(col("a_id"), col("b_id"), col("j"))
+    } else {
+      // stop-shingle path: candidates from sub-cap shingles only, then the
+      // usual exact verification (which counts ALL shared shingles)
+      val keys = blockCols :+ "shingle"
+      val rare = sh.join(
+        sh.groupBy(keys.map(col): _*).agg(count(lit(1)).as("shdf"))
+          .filter(col("shdf") <= maxShingleDf).drop("shdf"),
+        keys)
+      val a = rare.select(blockCols.map(col) :+ col(idCol).as("a_id") :+ col("shingle"): _*)
+      val b = rare.select(blockCols.map(col) :+ col(idCol).as("b_id") :+ col("shingle"): _*)
+      val cands = a.join(b, keys)
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      verifyJaccard(cands, sh, idCol, threshold, sizes)
+    }
   }
 
   /** EXACT set-similarity join via prefix filtering (PPJoin-style): for
@@ -115,10 +141,25 @@ object Dedup {
     * frequent shingles; prefix filtering bounds the join to rare shingles.
     */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
-      blockCols: Seq[String], n: Int = 3, threshold: Double = 0.8): DataFrame = {
+      blockCols: Seq[String], n: Int = 3, threshold: Double = 0.8): DataFrame =
+    jaccardPairsPrefixReleasable(df, idCol, textCol, blockCols, n, threshold)._1
+
+  /** [[jaccardPairsPrefix]] plus a release thunk for its persisted shingle
+    * relation — the result is lazy, so only the CALLER knows when it has
+    * been consumed and the cache can go (see [[lshNearDupPairsReleasable]]).
+    *
+    * The (id, blocks, shingle) relation is computed ONCE and persisted: it
+    * feeds the per-doc sizes, the global shingle frequencies, the ranked
+    * prefix join, AND the verification pass — four consumers that would
+    * otherwise each re-scan and re-shingle the full content (shingling
+    * dominates the cost; round 3 measured ~5 content scans here).
+    */
+  def jaccardPairsPrefixReleasable(df: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], n: Int = 3, threshold: Double = 0.8): (DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
     requirePositiveThreshold(threshold)
     val sh = shingles(df, idCol, textCol, n, blockCols)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("shf"))
     val ranked = sh.join(freq, "shingle")
@@ -131,7 +172,7 @@ object Dedup {
     val cands = a.join(b, blockCols :+ "shingle")
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    verifyJaccard(cands, sh, idCol, threshold)
+    (verifyJaccard(cands, sh, idCol, threshold, sizes), () => { sh.unpersist(); () })
   }
 
   /** Contract of every similarity join here: pairs sharing ZERO shingles
@@ -153,8 +194,7 @@ object Dedup {
     * and every stage is a plain hash join / hash aggregate.
     */
   private def verifyJaccard(cands: DataFrame, sh: DataFrame, idCol: String,
-      threshold: Double): DataFrame = {
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+      threshold: Double, sizes: DataFrame): DataFrame = {
     val aSh = sh.select(col(idCol).as("a_id"), col("shingle"))
     val bSh = sh.select(col(idCol).as("b_id"), col("shingle"))
     val inter = cands
@@ -245,13 +285,29 @@ object Dedup {
     * shared materialization both branches of the plan would re-scan and
     * re-shingle the full content. The cache entry is keyed by the logical
     * plan, so repeated calls over the same input reuse one entry; it is
-    * evicted LRU under memory pressure or explicitly via
-    * `spark.catalog.clearCache()`. At 100 TB, prefer writing the shingle
-    * relation to a temporary table (DISK_ONLY has the same effect).
+    * evicted LRU under memory pressure, explicitly via
+    * `spark.catalog.clearCache()`, or — the targeted form — by the release
+    * thunk of [[lshNearDupPairsReleasable]], which unpersists exactly this
+    * input's entry once the caller has consumed the (lazy) result. At
+    * 100 TB, prefer writing the shingle relation to a temporary table
+    * (DISK_ONLY has the same effect).
     */
   def lshNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
-      k: Int = MinHashK, bands: Int = Bands): DataFrame = {
+      k: Int = MinHashK, bands: Int = Bands): DataFrame =
+    lshNearDupPairsReleasable(df, idCol, textCol, n, threshold, k, bands)._1
+
+  /** [[lshNearDupPairs]] plus a release thunk that unpersists the shingle
+    * cache. The returned DataFrame is lazy, so the method itself can never
+    * know when the cache is consumable-no-more — the caller does: run the
+    * action(s), then call the thunk. Repeated pipelines over DIFFERENT
+    * inputs should use this form so each input's entry is freed promptly
+    * instead of accumulating until LRU eviction (or a global
+    * `clearCache()`, which evicts unrelated caches too).
+    */
+  def lshNearDupPairsReleasable(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      k: Int = MinHashK, bands: Int = Bands): (DataFrame, () => Unit) = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     requirePositiveThreshold(threshold)
     val rowsPerBand = k / bands
@@ -269,7 +325,8 @@ object Dedup {
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
       .distinct()
-    verifyJaccard(cands, sh, idCol, threshold)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    (verifyJaccard(cands, sh, idCol, threshold, sizes), () => { sh.unpersist(); () })
   }
 
   /** The 100 TB composition: collapse identical texts to their min-id
@@ -302,8 +359,34 @@ object Dedup {
     z ^ (z >>> 31)
   }
 
-  /** 64-bit SimHash of whitespace tokens (pure function of text). */
+  /** 64-bit SimHash of whitespace tokens (pure function of text).
+    * Token hashes come from [[graft.lm.Perplexity.foreachTokenHash]] — the
+    * zero-allocation `31·h+c` fold, specified equal to `String.hashCode` of
+    * each `split("\\s+")` token — so no substring is materialized and no
+    * split regex is recompiled per row (the exact hot spot the round-3
+    * profile pass removed from the perplexity tokenizer).
+    * Bit-identical to [[simhash64Regex]] (differential spec).
+    */
   def simhash64(text: String): Long = {
+    val v = new Array[Int](64)
+    graft.lm.Perplexity.foreachTokenHash(text) { hc =>
+      val h = mix64(hc.toLong)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) v(b) += 1 else v(b) -= 1
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (v(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** The round-1 regex-split formulation — the differential-test twin of
+    * [[simhash64]]; do not use in the hot path.
+    */
+  def simhash64Regex(text: String): Long = {
     val v = new Array[Int](64)
     text.split("\\s+").foreach { w =>
       if (w.nonEmpty) {

@@ -55,6 +55,25 @@ object Perplexity {
     }
   }
 
+  /** Raw-hash sibling of [[foreachTokenBucket]]: visits `token.hashCode`
+    * (the full 32-bit fold, un-bucketed) for every whitespace-separated
+    * token, zero allocations. Shared by [[graft.dedup.Dedup.simhash64]];
+    * equality with `tokens(s).map(_.hashCode)` is asserted by the same
+    * differential spec that gates the bucket form.
+    */
+  def foreachTokenHash(s: String)(f: Int => Unit): Unit = {
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && isWs(s.charAt(i))) i += 1
+      if (i < n) {
+        var h = 0
+        while (i < n && !isWs(s.charAt(i))) { h = 31 * h + s.charAt(i); i += 1 }
+        f(h)
+      }
+    }
+  }
+
   final class Model(val uni: Array[Long], val bi: Array[Long]) extends Serializable {
     /** exp(mean negative log prob) over bigrams; 0.0 for docs with <2
       * tokens. Left-to-right fold over the allocation-free bucket stream —

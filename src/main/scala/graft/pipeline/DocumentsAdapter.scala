@@ -71,9 +71,15 @@ object DocumentsAdapter {
     val p = Paths.get(dir, "documents.parquet")
     if (!Files.exists(p)) 0L
     else Using.resource(Files.walk(p)) { st =>
-      st.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
-        .map(f => s"${f.getFileName}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}")
+      // nanosecond mtime + file count: a same-millisecond in-place rewrite
+      // with identical names/sizes (fast-FS fixture regeneration) must not
+      // collide with the old fingerprint
+      val files = st.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+      val parts = files
+        .map(f => s"${f.getFileName}:${Files.size(f)}:" +
+          s"${Files.getLastModifiedTime(f).to(java.util.concurrent.TimeUnit.NANOSECONDS)}")
         .sorted
+      (s"n=${files.size}" +: parts)
         .foldLeft(-3750763034362895579L) { (h, s) => // FNV-1a 64
           s.foldLeft(h)((x, c) => (x ^ c) * 1099511628211L)
         }

@@ -79,23 +79,31 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
     // dense prefix means the log lost a version to external damage
     // (partial restore, manual deletion). Continuing would silently
     // re-claim the gap slot and order pre-existing snapshots AFTER it,
-    // dropping their data from `live` — fail loudly instead.
+    // dropping their data from `live` — fail loudly instead. A detected gap
+    // is STICKY: every subsequent call on this instance rethrows, so a
+    // caller that catches-and-retries can never proceed on the truncated
+    // cache or re-claim the gap slot.
+    gapFailure.foreach(throw _)
     if (!gapChecked) {
-      gapChecked = true
       val maxOnDisk = Using.resource(Files.list(logDir)) { stream =>
         stream.iterator().asScala
           .map(_.getFileName.toString)
           .filter(_.matches("v\\d{8}\\.json"))
           .foldLeft(-1L)((m, f) => math.max(m, f.substring(1, 9).toLong))
       }
-      if (maxOnDisk >= v)
-        throw new IllegalStateException(
+      if (maxOnDisk >= v) {
+        val e = new IllegalStateException(
           s"snapshot log gap: manifest v$maxOnDisk exists but v$v is missing — " +
             "the log is damaged; refusing to commit past the gap")
+        gapFailure = Some(e)
+        throw e
+      }
+      gapChecked = true
     }
   }
 
   private var gapChecked = false
+  private var gapFailure: Option[IllegalStateException] = None
 
   private def parse(json: String): Snapshot = {
     // minimal flat-JSON parser for our own writer's output

@@ -98,6 +98,70 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("zero-alloc simhash is bit-identical to the regex-split formulation") {
+    val rnd = new scala.util.Random(0x51a5)
+    val ws = " \t\n\f\r"
+    val cases = Seq("", " ", "a", " a ", "a b", "\t\n x  y \r\n",
+      "unicode tøkens blïss  nbsp-is-not-\\s") ++
+      Tables.documents(spark, dir).select("text").limit(200)
+        .collect().map(_.getString(0)).toSeq ++
+      (0 until 1000).map { _ =>
+        Array.fill(rnd.nextInt(80))(
+          if (rnd.nextInt(4) == 0) ws(rnd.nextInt(ws.length))
+          else ('!' + rnd.nextInt(94)).toChar).mkString
+      }
+    cases.foreach { s =>
+      assert(Dedup.simhash64(s) == Dedup.simhash64Regex(s),
+        s"simhash divergence on: ${s.take(60).replace("\n", "\\n")}")
+    }
+  }
+
+  test("stop-shingle cap: identical pairs when cap >= max df, bounded candidate volume under skew") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    // cap at the corpus' max shingle frequency == no shingle dropped ⇒ the
+    // capped (candidate+verify) plan must return the naive join's pairs
+    val maxDf = Dedup.shingles(docs, "doc_id", "text", 3)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .agg(max(col("df"))).collect()(0).getLong(0)
+    val uncapped = Dedup.jaccardPairs(docs, "doc_id", "text", Seq.empty, 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = Dedup.jaccardPairs(docs, "doc_id", "text", Seq.empty, 3, 0.8,
+      maxShingleDf = maxDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped == uncapped,
+      s"cap=$maxDf (>= max df) changed the result: ${uncapped.size} vs ${capped.size}")
+
+    // skew generator: every doc shares one hot phrase (df = nDocs); true
+    // near-dups share rare shingles too, so a modest cap keeps them while
+    // collapsing the hot key's quadratic candidate volume
+    val hot = "lorem ipsum dolor sit amet consectetur"
+    val nDocs = 60
+    val skewed = (0 until nDocs).map { i =>
+      val unique = s"unique$i alpha$i beta$i gamma$i delta$i epsilon$i"
+      (i.toLong, s"$hot $unique")
+    } :+ (999L, s"$hot unique7 alpha7 beta7 gamma7 delta7 epsilon7") // near-dup of doc 7
+    val sdf = skewed.toDF("doc_id", "text")
+    val cap = 5L
+    val pairsCapped = Dedup.jaccardPairs(sdf, "doc_id", "text", Seq.empty, 3, 0.8, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairsNaive = Dedup.jaccardPairs(sdf, "doc_id", "text", Seq.empty, 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsNaive == Set((7L, 999L)))
+    assert(pairsCapped == pairsNaive, "cap dropped a pair with rare shared shingles")
+    // candidate join volume = Σ df² over shingles entering the join:
+    // the cap bounds every term at cap², the uncapped hot shingles are Θ(n²)
+    val dfs = Dedup.shingles(sdf, "doc_id", "text", 3)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .select(col("df")).as[Long].collect()
+    val volUncapped = dfs.map(d => d * d).sum
+    val volCapped = dfs.filter(_ <= cap).map(d => d * d).sum
+    info(s"join volume uncapped=$volUncapped capped=$volCapped")
+    assert(volUncapped > (nDocs.toLong - 5) * (nDocs - 5), "skew generator lost its hot key")
+    assert(volCapped <= dfs.length * cap * cap, "capped volume not bounded by cap²")
+    assert(volCapped * 10 < volUncapped, "cap failed to collapse the hot-key volume")
+  }
+
   test("simhash: identical texts collide, small edits stay within hamming 3") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val edit = "the quick brown fox jumps over the lazy cat again and again today"

@@ -117,6 +117,11 @@ class QualityFilterSpec extends AnyFunSuite {
       val fast = Seq.newBuilder[Int]
       Perplexity.foreachTokenBucket(s)(fast += _)
       assert(fast.result() == spec, s"divergence on: ${s.take(60)}")
+      // the raw-hash sibling yields exactly String.hashCode per token
+      val hashSpec = Perplexity.tokens(s).map(_.hashCode).toSeq
+      val hashFast = Seq.newBuilder[Int]
+      Perplexity.foreachTokenHash(s)(hashFast += _)
+      assert(hashFast.result() == hashSpec, s"hash divergence on: ${s.take(60)}")
     }
   }
 

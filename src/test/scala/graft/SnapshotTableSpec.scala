@@ -101,6 +101,16 @@ class SnapshotTableSpec extends AnyFunSuite {
     val fresh = SnapshotTable(spark, t.root)
     val ex = intercept[IllegalStateException](fresh.latest())
     assert(ex.getMessage.contains("gap"))
+    // the failure is STICKY: a caller that catches and retries must not
+    // proceed on the truncated cache or re-claim the gap slot — every
+    // subsequent call on the damaged instance rethrows
+    val ex2a = intercept[IllegalStateException](fresh.latest())
+    assert(ex2a.getMessage.contains("gap"))
+    Files.createDirectories(java.nio.file.Paths.get(t.root, "data", "gap-dir"))
+    val ex2b = intercept[IllegalStateException](fresh.commitDirs("gap-claim", Seq("gap-dir")))
+    assert(ex2b.getMessage.contains("gap"))
+    // and no manifest was written into the gap slot
+    assert(!Files.exists(java.nio.file.Paths.get(t.root, "_log", "v00000001.json")))
     // commitDirs refuses to commit dirs that do not exist (orphan-GC race)
     val t2 = SnapshotTable(spark, tmp())
     val ex2 = intercept[IllegalStateException](t2.commitDirs("k", Seq("never-staged")))
