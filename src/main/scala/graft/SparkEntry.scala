@@ -62,6 +62,8 @@ object SparkEntry {
     "q44_qf_heuristics"   -> (DocumentsAdapter.qfHeuristicsQuery _),
     "q45_ann_ivf_exact"   -> (PipelineQueries.q45AnnIvfExact _),
     "q46_qf_heur_metrics" -> (DocumentsAdapter.qfHeuristicMetricsQuery _),
+    "q47_ann_lsh_exact"   -> (PipelineQueries.q47AnnLshExact _),
+    "q48_qf_stream"       -> (graft.streaming.StreamingQualityFilter.availableNowHeuristics _),
     // flagship pipeline (not SQL-expressible: broadcast-model stages) —
     // driver records rows-only checks for these two.
     "q30_quality_filter"  -> (DocumentsAdapter.qualityFilterQuery _),
@@ -110,5 +112,9 @@ object SparkEntry {
     "q45_ann_ivf_exact"   -> PipelineSql.q25AnnBrute,
     // the K1 metrics-sink shape of the same inert-model run
     "q46_qf_heur_metrics" -> PipelineSql.q46QfHeuristicMetrics,
+    // LSH with one degenerate band bucket is arithmetically brute force
+    "q47_ann_lsh_exact"   -> PipelineSql.q25AnnBrute,
+    // the streaming engine's q44 projection must be byte-equal to batch
+    "q48_qf_stream"       -> PipelineSql.q44QfHeuristics,
   )
 }

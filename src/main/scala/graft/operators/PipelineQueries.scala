@@ -105,6 +105,20 @@ object PipelineQueries {
       .orderBy("q_id", "rk")
   }
 
+  /** LSH ANN in degenerate-blocking mode (nBits = 0, bands = 1): every
+    * vector lands in ONE band bucket, so candidate generation is complete
+    * and the exact re-rank makes `lshTopK` arithmetically identical to
+    * brute force — the q25 DuckDB oracle value-checks the banded-join +
+    * re-rank machinery end-to-end, exactly the q45 trick for IVF. (q26
+    * keeps the realistic blocking, rows-only + recall spec.)
+    */
+  def q47AnnLshExact(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    Ann.lshTopK(e.filter(col("vec_id") % 97 === 0), e, "vec_id", "embedding", 3, 64,
+      nBits = 0, bands = 1)
+      .orderBy("q_id", "rk")
+  }
+
   /** Token/stopword quality metrics aggregated per lang. */
   def q28TextQuality(s: SparkSession, dir: String): DataFrame = {
     val d = TextAnalysis.withTokenMetrics(Tables.documents(s, dir))

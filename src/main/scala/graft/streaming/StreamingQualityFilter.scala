@@ -44,6 +44,77 @@ object StreamingQualityFilter {
       cfg: graft.pipeline.QualityFilter.Config = graft.pipeline.QualityFilter.Config()): DataFrame =
     statelessStages(spark.readStream.schema(corpusSchema).parquet(inputDir), cfg)
 
+  /** q48: the flagship's DuckDB-expressible projection (q44) computed BY
+    * THE STREAMING ENGINE — a file-source stream over the documents table,
+    * run as one `Trigger.AvailableNow` micro-batch into a parquet sink, read
+    * back for the compare. This is the driver-visible value gate of the
+    * §2.10 streaming surface: stream output must be byte-equal to the batch
+    * q44 oracle, row for row.
+    *
+    * The statistical length fence needs corpus-level quartiles, which a
+    * stateless stream cannot compute — so they come from a FROZEN stats
+    * snapshot produced by a batch refresh job over the same input (the
+    * class-doc split: the batch job refreshes fences per snapshot commit;
+    * the stream applies them as a broadcast stream-static join). Model
+    * stages are inert exactly as in q44 (lang_pred := lang, ppl := 0).
+    */
+  def availableNowHeuristics(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val cfg = graft.pipeline.DocumentsAdapter.q44Config
+    val docsPath = s"$dir/documents.parquet"
+    def adapt(df: DataFrame): DataFrame = df.select(
+      col("source").as("repo"),
+      concat(lit("doc/"), col("doc_id")).as("path"),
+      lit("").as("commit"), col("lang"), col("text").as("content"))
+    val batchDocs = spark.read.parquet(docsPath)
+    // frozen per-lang stats snapshot (batch refresh job): length quartiles
+    // plus the inert ppl moments, identical to the batch run's fence inputs;
+    // |langs| rows, materialized to a LocalRelation for the broadcast join
+    val statsD = graft.pipeline.QualityFilter.langStats(
+      TextMetrics.withMetrics(adapt(batchDocs))
+        .withColumn("ppl", lit(0.0))
+        .select(col("lang"), col("ppl"), col("n_chars")))
+    val stats = spark.createDataFrame(
+      java.util.Arrays.asList(statsD.collect(): _*), statsD.schema)
+
+    // the file stream source needs a DIRECTORY basePath (at scale the input
+    // is one anyway); the driver testdata ships documents.parquet as a
+    // single file, so stage it into a temp dir via symlink (copy fallback)
+    val work = java.nio.file.Files.createTempDirectory("graft-stream-q48-")
+    val inDir = java.nio.file.Files.createDirectory(work.resolve("in"))
+    val src = java.nio.file.Paths.get(docsPath)
+    try java.nio.file.Files.createSymbolicLink(inDir.resolve("documents.parquet"), src)
+    catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+      java.nio.file.Files.copy(src, inDir.resolve("documents.parquet")) }
+
+    val stream = adapt(spark.readStream.schema(batchDocs.schema).parquet(inDir.toString))
+      .withColumn("lang_pred", col("lang"))
+      .withColumn("lang_margin", lit(0.0))
+      .withColumn("ppl", lit(0.0))
+    val reasons = graft.pipeline.QualityFilter.reasonExprs(cfg)
+    val arr = filter(array(reasons.map { case (n, c) => when(c, lit(n)) }: _*), x => x.isNotNull)
+    val labeled = TextMetrics.withMetrics(stream)
+      .join(broadcast(stats), Seq("lang"), "left") // stream-static join
+      .withColumn("drop_reasons", arr)
+      .withColumn("keep", size(col("drop_reasons")) === 0)
+      .withColumn("content_sha256", Scrub.sha256Hex(col("content")))
+      .select(col("path"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"),
+        col("n_words").cast("long").as("n_words"),
+        col("keep"),
+        concat_ws("|", col("drop_reasons")).as("reasons"),
+        col("content_sha256"))
+    val out = work.resolve("out").toString
+    val q = labeled.writeStream
+      .format("parquet")
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(out)
+    q.awaitTermination()
+    spark.read.parquet(out).orderBy("path")
+  }
+
   /** Cumulative per-repo quality state. */
   case class RepoState(files: Long, dropped: Long, quarantined: Boolean)
 

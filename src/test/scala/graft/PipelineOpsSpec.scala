@@ -184,6 +184,16 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 100L)), s"identical pair missed: $pairs")
   }
 
+  test("LSH degenerate blocking (nBits=0, bands=1) equals brute force row-for-row") {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") % 97 === 0)
+    val brute = Ann.bruteForceTopK(q, e, "vec_id", "embedding", 3)
+      .orderBy("q_id", "rk").collect().map(_.toString)
+    val lsh = Ann.lshTopK(q, e, "vec_id", "embedding", 3, 64, nBits = 0, bands = 1)
+      .orderBy("q_id", "rk").collect().map(_.toString)
+    assert(brute.nonEmpty && lsh.sameElements(brute))
+  }
+
   test("ANN LSH: valid format and nontrivial recall vs brute force") {
     val e = Tables.embeddings(spark, dir)
     val q = e.filter(col("vec_id") % 97 === 0)

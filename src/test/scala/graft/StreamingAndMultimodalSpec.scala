@@ -35,6 +35,17 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq, "stream vs batch outputs diverge")
   }
 
+  test("q48 availableNow stream equals the batch q44 projection row-for-row") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingQualityFilter.availableNowHeuristics(spark, dir)
+      .collect().map(_.toString)
+    val batch = graft.pipeline.DocumentsAdapter.qfHeuristicsQuery(spark, dir)
+      .collect().map(_.toString)
+    assert(streamed.nonEmpty)
+    assert(streamed.sameElements(batch),
+      s"stream (${streamed.length} rows) vs batch (${batch.length} rows) diverge")
+  }
+
   test("windowed keep-rate aggregation with watermark runs on a stream") {
     val dir = Files.createTempDirectory("graft-stream2-").toString
     Corpus.generate(spark, 200, seed = 10, numParts = 2).toDF()
