@@ -1,0 +1,105 @@
+package graft.functions
+
+import graft.scrub.Scrub
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The fused slim-core content pass: text statistics + `sha256(content)` +
+  * scrub + `sha256(scrubbed)` as ONE native expression — one byte
+  * materialization, one String conversion, one digest for clean rows —
+  * instead of four separate expression trees each re-deserializing the same
+  * content (the round-3 profile's top write-path cost).
+  *
+  * Semantics are exactly the composition it replaces, shared
+  * implementation-for-implementation:
+  *  - stats fields = [[TextStats.fields]] (the same byte scan);
+  *  - content_sha256 = `sha2(content, 256)` (lowercase hex of the UTF-8
+  *    bytes — verified against the builtin by spec AND by the q44/q48
+  *    DuckDB oracle);
+  *  - scrubbed_sha256 = `sha2(scrub(content), 256)`, where scrub is
+  *    [[Scrub.scrubString]] verbatim. The scrubbed TEXT is deliberately not
+  *    emitted: the slim core never carries content-sized columns (callers
+  *    that need the text use the lazy labeled view).
+  *
+  * The clean-row fast path is the payoff at scale: when the trigger scan
+  * proves no scrub rule can fire, [[Scrub.scrubString]] returns the input
+  * REFERENCE, so the second digest (and the scrubbed byte conversion) is
+  * skipped entirely and the content sha is reused — on a typical corpus the
+  * overwhelming majority of rows take this path.
+  *
+  * Generates code (no CodegenFallback): a direct typed call inside
+  * whole-stage codegen, like [[TextStats]] / [[graft.scrub.ScrubExpr]].
+  */
+case class QfCore(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = QfCore.schema
+  override def nullIntolerant: Boolean = true
+
+  override protected def withNewChildInternal(newChild: Expression): QfCore =
+    copy(child = newChild)
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("qfCore", this, classOf[QfCore].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+  }
+
+  /** Called from generated code. */
+  def compute(s: UTF8String): InternalRow = {
+    val bytes = s.getBytes
+    val stats = TextStats.fields(bytes)
+    val md = QfCore.digests.get()
+    md.reset()
+    val contentSha = QfCore.hexUtf8(md.digest(bytes))
+    val str = s.toString
+    val scrubbed = Scrub.scrubString(str)
+    val scrubbedSha =
+      if (scrubbed eq str) contentSha // untriggered/unmatched: identical bytes
+      else {
+        md.reset()
+        QfCore.hexUtf8(md.digest(scrubbed.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      }
+    val out = new Array[Any](stats.length + 2)
+    System.arraycopy(stats, 0, out, 0, stats.length)
+    out(stats.length) = contentSha
+    out(stats.length + 1) = scrubbedSha
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+}
+
+object QfCore {
+  val schema: StructType = TextStats.schema
+    .add("content_sha256", StringType, nullable = false)
+    .add("scrubbed_sha256", StringType, nullable = false)
+
+  private val digests: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("SHA-256"))
+
+  private val Hex = "0123456789abcdef".getBytes("US-ASCII")
+
+  /** Lowercase hex, byte-level (no format-string churn) — the `sha2` wire
+    * format.
+    */
+  private def hexUtf8(digest: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](digest.length * 2)
+    var i = 0
+    while (i < digest.length) {
+      val b = digest(i) & 0xff
+      out(2 * i) = Hex(b >>> 4)
+      out(2 * i + 1) = Hex(b & 0xf)
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  def col(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(QfCore(ColumnBridge.expression(c)))
+  }
+}

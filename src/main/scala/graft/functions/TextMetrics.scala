@@ -44,6 +44,22 @@ object TextMetrics {
       .drop("_ts")
   }
 
+  /** The slim-core projection: all metric columns PLUS `content_sha256` and
+    * `scrubbed_sha256` from the fused [[QfCore]] expression — stats, both
+    * digests and the scrub decision in a single content pass (see QfCore's
+    * scaladoc for the clean-row fast path). Byte-identical to
+    * `withMetrics(df) + sha2(content) + sha2(scrub(content))` (differential
+    * spec).
+    */
+  def withMetricsAndShas(df: DataFrame, contentCol: String = "content"): DataFrame = {
+    val withQc = df.withColumn("_qc", QfCore.col(col(contentCol)))
+    (derived(col("_qc")) ++ Seq(
+      "content_sha256" -> col("_qc").getField("content_sha256"),
+      "scrubbed_sha256" -> col("_qc").getField("scrubbed_sha256")))
+      .foldLeft(withQc) { case (d, (n, c)) => d.withColumn(n, c) }
+      .drop("_qc")
+  }
+
   /** Original builtin-functions formulation (regex + array ops): the spec
     * twin used by the differential test. Do not use in the hot path.
     */

@@ -53,8 +53,27 @@ case class TextStats(child: Expression) extends UnaryExpression {
   /** The one implementation both eval paths share (public: called from
     * generated code).
     */
-  def compute(s: UTF8String): InternalRow = {
-    val bytes = s.getBytes // may copy once; all scanning is on this array
+  def compute(s: UTF8String): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      TextStats.fields(s.getBytes))
+}
+
+object TextStats {
+  val schema: StructType = new StructType()
+    .add("n_chars", IntegerType, nullable = false)
+    .add("n_lines", IntegerType, nullable = false)
+    .add("max_line_len", IntegerType, nullable = false)
+    .add("alnum", IntegerType, nullable = false)
+    .add("nonspace", IntegerType, nullable = false)
+    .add("n_words", IntegerType, nullable = false)
+    .add("distinct_lines", IntegerType, nullable = false)
+    .add("has_bad_chars", BooleanType, nullable = false)
+
+  /** The single-pass byte scan, shared with [[QfCore]] (which appends the
+    * sha/scrub outputs to the same schema prefix). Field order matches
+    * [[schema]].
+    */
+  private[functions] def fields(bytes: Array[Byte]): Array[Any] = {
     val n = bytes.length
 
     var nChars = 0
@@ -103,21 +122,8 @@ case class TextStats(child: Expression) extends UnaryExpression {
     }
     endLine(n)
 
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
-      nChars, nLines, maxLine, alnum, nonspace, nWords, lineHashes.size(), hasBad))
+    Array[Any](nChars, nLines, maxLine, alnum, nonspace, nWords, lineHashes.size(), hasBad)
   }
-}
-
-object TextStats {
-  val schema: StructType = new StructType()
-    .add("n_chars", IntegerType, nullable = false)
-    .add("n_lines", IntegerType, nullable = false)
-    .add("max_line_len", IntegerType, nullable = false)
-    .add("alnum", IntegerType, nullable = false)
-    .add("nonspace", IntegerType, nullable = false)
-    .add("n_words", IntegerType, nullable = false)
-    .add("distinct_lines", IntegerType, nullable = false)
-    .add("has_bad_chars", BooleanType, nullable = false)
 
   def col(c: Column): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge

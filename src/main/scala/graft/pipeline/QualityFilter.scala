@@ -131,16 +131,15 @@ object QualityFilter {
         input.map(f => Scored(f.repo, f.path, f.commit, f.lang, f.content,
           f.lang, 0.0, 0.0))
       }
-    val withM = TextMetrics.withMetrics(scored.toDF())
     // Everything content-derived that does NOT depend on the per-lang stats
     // — scores, metrics, content/scrubbed shas — is computed in ONE pass,
     // then content is dropped and the slim core cached. Round 2 ran the
     // scoring+metrics pass twice (once for the stats job, once to
-    // materialize the slim cache); now the stats job IS the materialization
-    // of the only content pass after training.
-    val slimCore = withM
-      .withColumn("content_sha256", Scrub.sha256Hex(col("content")))
-      .withColumn("scrubbed_sha256", Scrub.sha256Hex(Scrub.scrub(col("content"))))
+    // materialize the slim cache); round 3 made the stats job the
+    // materialization of the only content pass after training; round 4
+    // fused that pass's four content expressions (TextStats, sha256,
+    // scrub, sha256 of scrubbed) into the single-scan QfCore expression.
+    val slimCore = TextMetrics.withMetricsAndShas(scored.toDF())
       .drop("content")
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Per-lang stats are one row per lang: materialize them eagerly into a
@@ -164,7 +163,7 @@ object QualityFilter {
     // full labeled view (with content + scrubbed text) recomputes lazily
     // from the input for callers that need the text; the slim path below
     // never re-reads content
-    val labeled = label(withM
+    val labeled = label(TextMetrics.withMetrics(scored.toDF())
       .withColumn("content_sha256", Scrub.sha256Hex(col("content")))
       .withColumn("scrubbed", Scrub.scrub(col("content")))
       .withColumn("scrubbed_sha256", Scrub.sha256Hex(col("scrubbed"))))
