@@ -83,9 +83,25 @@ object Ann {
       nlist: Int, iters: Int = 5): Array[Array[Float]] = {
     val spark = candidates.sparkSession
     import spark.implicits._
+    // The k-means loop reads this relation iters+1 times (seed + one
+    // assignment pass per iteration); persist the (id, vector) projection —
+    // content-free, fixed-width — so iterations read the cache instead of
+    // re-running the scan (and any upstream shuffle) every pass. Released
+    // before returning: training is a bounded driver-side loop, so unlike
+    // the lazy dedup results there IS a right moment to unpersist here.
     val c = candidates
       .select(col(idCol).cast("long").as("n_id"), col(vecCol).as("cv"))
       .as[(Long, Array[Float])]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      trainLoop(c, nlist, iters)
+    } finally c.unpersist()
+  }
+
+  private def trainLoop(c: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      nlist: Int, iters: Int): Array[Array[Float]] = {
+    val spark = c.sparkSession
+    import spark.implicits._
     var centroids = c.orderBy(col("n_id").asc).limit(nlist)
       .collect().map(_._2)
     var it = 0

@@ -12,6 +12,23 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Spread a narrow scan across the session's shuffle parallelism.
+    *
+    * Parquet row groups are the split floor, and the driver testdata ships
+    * each table as ONE small file — one split — which floors every
+    * CPU-heavy downstream stage (shingling, hashing, model inference) at
+    * 1-way parallelism no matter the core count. The guard repartitions
+    * ONLY when the scan has fewer splits than the target: at production
+    * scale inputs arrive in thousands of splits and this is a no-op (no
+    * shuffle is ever added to an already-parallel input; the round-robin
+    * shuffle of a single small file costs ~nothing next to the CPU work it
+    * unlocks).
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")

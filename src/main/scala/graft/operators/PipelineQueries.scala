@@ -16,7 +16,7 @@ object PipelineQueries {
 
   /** Exact dedup on events.props (100 distinct values over the table). */
   def q20ExactDedup(s: SparkSession, dir: String): DataFrame =
-    Dedup.exactDedup(Tables.events(s, dir), "props", "event_id")
+    Dedup.exactDedup(Tables.spread(Tables.events(s, dir)), "props", "event_id")
       .select(col("keep_id"), col("dups"))
       .orderBy("keep_id")
 
@@ -25,7 +25,7 @@ object PipelineQueries {
     * checks it value-for-value.
     */
   def q40ExactDedupSha(s: SparkSession, dir: String): DataFrame =
-    Dedup.exactDedupBySha(Tables.events(s, dir), "props", "event_id")
+    Dedup.exactDedupBySha(Tables.spread(Tables.events(s, dir)), "props", "event_id")
       .select(col("keep_id"), col("dups"))
       .orderBy("keep_id")
 
@@ -35,12 +35,12 @@ object PipelineQueries {
     * to the band buckets instead of turning each bucket quadratic.
     */
   def q21MinhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.lshNearDupPairsDistinct(Tables.documents(s, dir), "doc_id", "text", 3, 0.8)
+    Dedup.lshNearDupPairsDistinct(Tables.spread(Tables.documents(s, dir)), "doc_id", "text", 3, 0.8)
       .orderBy("a_id", "b_id")
 
   /** SimHash signatures (rows-only; deterministic per text). */
   def q22Simhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashes(Tables.documents(s, dir), "doc_id", "text")
+    Dedup.simhashes(Tables.spread(Tables.documents(s, dir)), "doc_id", "text")
       .orderBy("doc_id")
 
   /** Exact word-3-gram Jaccard near-dup pairs, blocked by lang — computed
@@ -48,13 +48,13 @@ object PipelineQueries {
     * naive shingle join the DuckDB oracle runs, far less join volume).
     */
   def q23NgramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairsPrefix(Tables.documents(s, dir), "doc_id", "text",
+    Dedup.jaccardPairsPrefix(Tables.spread(Tables.documents(s, dir)), "doc_id", "text",
       blockCols = Seq("lang"), n = 3, threshold = 0.8)
       .orderBy("a_id", "b_id")
 
   /** Embedding cosine near-dup pairs within label blocks. */
   def q24EmbDup(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+    val e = Tables.spread(Tables.embeddings(s, dir))
     val a = e.select(col("label"), col("vec_id").as("a_id"), col("embedding").as("va"))
     val b = e.select(col("label"), col("vec_id").as("b_id"), col("embedding").as("vb"))
     a.join(b, "label")
@@ -67,7 +67,7 @@ object PipelineQueries {
 
   /** Brute-force cosine top-3 ANN for the query subset vec_id % 97 == 0. */
   def q25AnnBrute(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+    val e = Tables.spread(Tables.embeddings(s, dir))
     Ann.bruteForceTopK(e.filter(col("vec_id") % 97 === 0), e, "vec_id", "embedding", 3)
       .orderBy("q_id", "rk")
   }
@@ -76,7 +76,7 @@ object PipelineQueries {
     * asserted in the spec).
     */
   def q26AnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+    val e = Tables.spread(Tables.embeddings(s, dir))
     Ann.lshTopK(e.filter(col("vec_id") % 97 === 0), e, "vec_id", "embedding", 3, 64)
       .orderBy("q_id", "rk")
   }
@@ -86,7 +86,7 @@ object PipelineQueries {
     * centroid updates).
     */
   def q42AnnIvf(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+    val e = Tables.spread(Tables.embeddings(s, dir))
     Ann.ivfTopK(e.filter(col("vec_id") % 97 === 0), e, "vec_id", "embedding", 3)
       .orderBy("q_id", "rk")
   }
@@ -99,7 +99,7 @@ object PipelineQueries {
     * nprobe < nlist setting, rows-only + recall spec.)
     */
   def q45AnnIvfExact(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+    val e = Tables.spread(Tables.embeddings(s, dir))
     Ann.ivfTopK(e.filter(col("vec_id") % 97 === 0), e, "vec_id", "embedding", 3,
       nlist = 16, nprobe = 16)
       .orderBy("q_id", "rk")
@@ -113,7 +113,7 @@ object PipelineQueries {
     * keeps the realistic blocking, rows-only + recall spec.)
     */
   def q47AnnLshExact(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+    val e = Tables.spread(Tables.embeddings(s, dir))
     Ann.lshTopK(e.filter(col("vec_id") % 97 === 0), e, "vec_id", "embedding", 3, 64,
       nBits = 0, bands = 1)
       .orderBy("q_id", "rk")
@@ -121,7 +121,7 @@ object PipelineQueries {
 
   /** Token/stopword quality metrics aggregated per lang. */
   def q28TextQuality(s: SparkSession, dir: String): DataFrame = {
-    val d = TextAnalysis.withTokenMetrics(Tables.documents(s, dir))
+    val d = TextAnalysis.withTokenMetrics(Tables.spread(Tables.documents(s, dir)))
     d.groupBy(col("lang")).agg(
       count(lit(1)).as("n_docs"),
       round(sum(col("n_tokens")).cast("double") / count(lit(1)), 6).as("avg_tokens"),
@@ -131,7 +131,7 @@ object PipelineQueries {
 
   /** Rolling-hash fingerprints (rows-only; deterministic per text). */
   def q32Fingerprint(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.fingerprints(Tables.documents(s, dir), "doc_id", "text")
+    TextAnalysis.fingerprints(Tables.spread(Tables.documents(s, dir)), "doc_id", "text")
       .orderBy("doc_id")
 
   /** Media table size tracks the SF dir (4 media rows per document row —

@@ -103,7 +103,7 @@ object DocumentsAdapter {
         live && fresh
       }
       runs.getOrElseUpdate((s, dir, models, fp),
-        QualityFilter.run(fromDocuments(Tables.documents(s, dir)),
+        QualityFilter.run(fromDocuments(Tables.spread(Tables.documents(s, dir))),
           if (models) docConfig else q44Config))
     }
 
@@ -119,10 +119,16 @@ object DocumentsAdapter {
 
   /** Flagship query: full quality-filter over the documents table. Output is
     * fully deterministic (rounded scores, sorted) — rows-only driver check.
+    *
+    * Projects `slim`, not `labeled`: every selected column (scores, keep,
+    * reasons, scrubbed sha) lives in the cached slim core, so this is a
+    * broadcast-label over the run's one content pass — the labeled view
+    * would re-run scoring + metrics + scrub over the full content a second
+    * time for an output that carries no content-sized column.
     */
   def qualityFilterQuery(s: SparkSession, dir: String): DataFrame = {
     val res = sharedRun(s, dir)
-    res.labeled.select(
+    res.slim.select(
       col("path"), col("lang"), col("lang_pred"),
       round(col("ppl"), 4).as("ppl"),
       col("keep"),

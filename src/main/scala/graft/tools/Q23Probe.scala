@@ -1,0 +1,57 @@
+package graft.tools
+
+import graft.core.{GraftSession, Tables}
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+/** Dev-only stage breakdown for the prefix-filtered similarity join (q23). */
+object Q23Probe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.local(32, "q23-probe")
+    import org.apache.spark.sql.expressions.Window
+
+    def t[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[q23] $name%-32s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    }
+
+    val docs = Tables.documents(spark, dir)
+    val threshold = 0.8
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3, Seq("lang"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    t("shingle materialize (count)")(println("  sh=" + sh.count()))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    t("sizes")(sizes.count())
+    t("sizes again")(sizes.count())
+    t("sizes 3rd")(sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")).count())
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("shf"))
+    t("freq")(freq.count())
+    t("freq again")(freq.count())
+    val ranked = sh.join(freq, "shingle")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("shf").asc, col("shingle").asc)))
+      .join(sizes, "doc_id")
+      .filter(col("rk") <= floor(lit(1.0 - threshold) * col("n_sh")) + 2)
+    t("ranked prefix")(println("  ranked=" + ranked.count()))
+    val a = ranked.select(col("lang"), col("doc_id").as("a_id"), col("shingle"))
+    val b = ranked.select(col("lang"), col("doc_id").as("b_id"), col("shingle"))
+    val cands = a.join(b, Seq("lang", "shingle"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+      .persist()
+    t("candidates")(println("  cands=" + cands.count()))
+    val aSh = sh.select(col("doc_id").as("a_id"), col("shingle"))
+    val bSh = sh.select(col("doc_id").as("b_id"), col("shingle"))
+    val inter = cands.join(aSh, "a_id").join(bSh, Seq("b_id", "shingle"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+    t("verify intersections")(inter.count())
+    t("full q23 (fresh plan, shared cache)") {
+      graft.operators.PipelineQueries.q23NgramJaccard(spark, dir).count()
+    }
+    t("full q23 again")(graft.operators.PipelineQueries.q23NgramJaccard(spark, dir).count())
+    spark.stop()
+  }
+}
