@@ -64,6 +64,7 @@ object SparkEntry {
     "q46_qf_heur_metrics" -> (DocumentsAdapter.qfHeuristicMetricsQuery _),
     "q47_ann_lsh_exact"   -> (PipelineQueries.q47AnnLshExact _),
     "q48_qf_stream"       -> (graft.streaming.StreamingQualityFilter.availableNowHeuristics _),
+    "q49_jaccard_capped"  -> (PipelineQueries.q49JaccardCapped _),
     // flagship pipeline (not SQL-expressible: broadcast-model stages) —
     // driver records rows-only checks for these two.
     "q30_quality_filter"  -> (DocumentsAdapter.qualityFilterQuery _),
@@ -116,5 +117,7 @@ object SparkEntry {
     "q47_ann_lsh_exact"   -> PipelineSql.q25AnnBrute,
     // the streaming engine's q44 projection must be byte-equal to batch
     "q48_qf_stream"       -> PipelineSql.q44QfHeuristics,
+    // capped at max df the stop-shingle plan returns the naive join's pairs
+    "q49_jaccard_capped"  -> PipelineSql.q49JaccardCapped,
   )
 }

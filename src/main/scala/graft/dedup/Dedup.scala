@@ -113,9 +113,14 @@ object Dedup {
         .select(col("a_id"), col("b_id"), col("j"))
     } else {
       // stop-shingle path: candidates from sub-cap shingles only, then the
-      // usual exact verification (which counts ALL shared shingles)
+      // usual exact verification (which counts ALL shared shingles).
+      // The shingle relation feeds the df counts, both join sides, and the
+      // verification — persist it like the prefix path (evicted LRU or via
+      // clearCache; callers wanting deterministic release use the
+      // releasable prefix variant, which subsumes this plan at scale)
+      val shP = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val keys = blockCols :+ "shingle"
-      val rare = sh.join(
+      val rare = shP.join(
         sh.groupBy(keys.map(col): _*).agg(count(lit(1)).as("shdf"))
           .filter(col("shdf") <= maxShingleDf).drop("shdf"),
         keys)

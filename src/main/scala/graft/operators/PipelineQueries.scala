@@ -119,6 +119,35 @@ object PipelineQueries {
       .orderBy("q_id", "rk")
   }
 
+  /** The stop-shingle-CAPPED similarity-join plan (candidate generation
+    * restricted to sub-cap shingles + candidate-restricted exact
+    * verification — the 100 TB hot-key shape), driven at cap = the corpus'
+    * max per-block shingle frequency, where the capped result is provably
+    * the naive join's — so the q23 DuckDB oracle value-checks the capped
+    * plan end-to-end. At production scale the cap is a fixed stop-shingle
+    * τ that bounds every candidate bucket at τ² join rows (the dropped-hot-
+    * shingle approximation is gated by the skew-generator spec).
+    */
+  def q49JaccardCapped(s: SparkSession, dir: String): DataFrame = {
+    // deterministic half of the corpus: the capped plan at cap = max df
+    // carries the FULL naive join volume by construction (nothing is
+    // filtered), so the value gate runs on a subset — q23 already
+    // value-checks verification at full size; this row checks the capped
+    // plan's shape, not its throughput
+    val docs = Tables.spread(Tables.documents(s, dir))
+      .filter(col("doc_id") % 2 === 0)
+    // persist first: the cap probe below and jaccardPairs' internal shingle
+    // relation are plan-equal, so both read ONE cached shingling
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3, Seq("lang"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maxDf = sh
+      .groupBy(col("lang"), col("shingle")).agg(count(lit(1)).as("df"))
+      .agg(max(col("df"))).collect()(0).getLong(0)
+    Dedup.jaccardPairs(docs, "doc_id", "text", Seq("lang"), 3, 0.8,
+      maxShingleDf = maxDf)
+      .orderBy("a_id", "b_id")
+  }
+
   /** Token/stopword quality metrics aggregated per lang. */
   def q28TextQuality(s: SparkSession, dir: String): DataFrame = {
     val d = TextAnalysis.withTokenMetrics(Tables.spread(Tables.documents(s, dir)))
@@ -200,8 +229,11 @@ object PipelineSql {
     """SELECT MIN(event_id) AS keep_id, COUNT(*) AS dups
       |FROM events GROUP BY props ORDER BY keep_id""".stripMargin
 
-  val q23NgramJaccard: String =
-    """WITH words AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+  /** The naive shingle-join Jaccard oracle over an arbitrary source
+    * relation — shared by q23 (full table) and q49 (deterministic half).
+    */
+  def ngramJaccardSqlFrom(source: String): String =
+    s"""WITH words AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM $source),
       |sh AS (
       |  SELECT DISTINCT doc_id, lang, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
       |  FROM words, UNNEST(generate_series(1, len(ws)-2)) t(i)
@@ -217,6 +249,11 @@ object PipelineSql {
       |    ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS j
       |  FROM pairs JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
       |) WHERE j >= 0.8 ORDER BY a_id, b_id""".stripMargin
+
+  val q23NgramJaccard: String = ngramJaccardSqlFrom("documents")
+
+  val q49JaccardCapped: String =
+    ngramJaccardSqlFrom("(SELECT * FROM documents WHERE doc_id % 2 = 0)")
 
   val q24EmbDup: String =
     """SELECT a_id, b_id, simr FROM (
