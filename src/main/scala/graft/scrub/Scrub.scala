@@ -37,7 +37,11 @@ object Scrub {
     *   aws_key  — mandatory literal "AKIA"
     *   ipv4     — `(?:\d{1,3}\.){3}` puts a '.' right after a digit
     *   phone    — `\d{1,3}[-. ]` puts '-', '.' or ' ' right after a digit
-    *   secret   — one of api/secret/token/password must appear (any case)
+    *   secret   — a full keyword (api[_-]?key / secret / token / password,
+    *              any case) followed by optional \s then ':' or '=' — the
+    *              pattern's mandatory `(\s*[:=]\s*)` group makes the
+    *              separator check necessary, so bare identifier hits
+    *              ("tokenizer", "apiClient") no longer trigger the scan
     * Guarding on the ORIGINAL text across the ordered chain is sound
     * because no replacement token (`<EMAIL>`, `<AWS_KEY>`, `<IP>`,
     * `<PHONE>`, `<SECRET>`) contains any trigger for a LATER rule — so a
@@ -71,10 +75,23 @@ object Scrub {
             s.charAt(i + 2) == 'I' && s.charAt(i + 3) == 'A') mask |= TAws
           if ((mask & TSecret) == 0) {
             val lc = (c | 0x20).toChar
-            if ((lc == 's' && ciFollows(s, i + 1, "ecret")) ||
-              (lc == 't' && ciFollows(s, i + 1, "oken")) ||
-              (lc == 'p' && ciFollows(s, i + 1, "assword")) ||
-              (lc == 'a' && ciFollows(s, i + 1, "pi"))) mask |= TSecret
+            // keyword END index (exclusive), or -1 when no keyword here
+            val kwEnd =
+              if (lc == 's' && ciFollows(s, i + 1, "ecret")) i + 6
+              else if (lc == 't' && ciFollows(s, i + 1, "oken")) i + 5
+              else if (lc == 'p' && ciFollows(s, i + 1, "assword")) i + 8
+              else if (lc == 'a' && ciFollows(s, i + 1, "pi")) {
+                // api[_-]?key
+                val k = i + 3
+                val k2 = if (k < n && (s.charAt(k) == '_' || s.charAt(k) == '-')) k + 1 else k
+                if (ciFollows(s, k2, "key")) k2 + 3 else -1
+              } else -1
+            if (kwEnd >= 0) {
+              // the pattern's `(\s*[:=]\s*)` group: skip \s, require : or =
+              var k = kwEnd
+              while (k < n && isJavaWs(s.charAt(k))) k += 1
+              if (k < n && (s.charAt(k) == ':' || s.charAt(k) == '=')) mask |= TSecret
+            }
           }
           digitRun = 0
         }
@@ -114,6 +131,10 @@ object Scrub {
   require(rules.map(_._1).toSet == triggerBits.keySet &&
     triggerBits.values.fold(0)(_ | _) == AllTriggers,
     "trigger bits out of sync with the rule list")
+
+  /** Java regex \s — exactly this ASCII set (no UNICODE_CHARACTER_CLASS). */
+  @inline private def isJavaWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000b' || c == '\f' || c == '\r'
 
   /** ASCII case-insensitive "s continues with `word` at `from`". */
   @inline private def ciFollows(s: String, from: Int, word: String): Boolean = {

@@ -1,0 +1,34 @@
+package graft.tools
+
+import graft.core.{Corpus, GraftSession, SourceFile}
+import graft.pipeline.QualityFilter
+import java.nio.file.Files
+
+/** Dev-only: the bench pipeline shape (parquet corpus → full run → salted
+  * slim write + metrics write) in a loop, for jstack sampling.
+  */
+object PipeOnce {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(400000L)
+    val cores = args.lift(1).map(_.toInt).getOrElse(32)
+    val loops = args.lift(2).map(_.toInt).getOrElse(3)
+    val work = Files.createTempDirectory("graft-pipeonce-").toString
+    val spark = GraftSession.local(cores, "pipe-once")
+    import spark.implicits._
+    Corpus.generate(spark, n, 42L, 128).toDF()
+      .write.mode("overwrite").parquet(s"$work/corpus")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", (1024 * 1024).toString)
+    spark.conf.set("spark.sql.files.openCostInBytes", (256 * 1024).toString)
+    println(s"[pipeonce] pid=${ProcessHandle.current().pid()} corpus ready")
+    (1 to loops).foreach { i =>
+      val t0 = System.nanoTime()
+      val corpus = spark.read.parquet(s"$work/corpus").as[SourceFile]
+      val res = QualityFilter.run(corpus, QualityFilter.Config(cache = false))
+      QualityFilter.writeLabeled(res.slim, s"$work/out-$i")
+      res.metrics.coalesce(1).write.mode("overwrite").parquet(s"$work/out-$i-metrics")
+      res.unpersist()
+      println(f"[pipeonce] loop $i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

@@ -89,6 +89,10 @@ class QualityFilterSpec extends AnyFunSuite {
       "secret = s3cr3t", "SeCrEt=x", "the words pass word split do not fire",
       "tok en, passw ord, ap i: separated traps", "s", "p", "t", "a", "A",
       "AKI", "AKIA", "1.", "1-", "trailing digit 7", "digit 7. dot after space",
+      // separator-requirement boundaries (round-4 strengthened secret trigger)
+      "tokenizer x", "apiClient.call()", "passwords are great", "secretive",
+      "token x = 1", "api_key v", "password\n=x", "token  \t = v",
+      "api-key:z", "apikey", "api_key", "token=", "token =", "secret:",
       "email@ AKIA 1.2.3.4 555-123-4567 password=all five at once")
     cases.foreach { s =>
       assert(graft.scrub.Scrub.scrubString(s) == unguarded(s), s"divergence on: $s")
