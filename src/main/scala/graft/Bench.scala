@@ -268,6 +268,16 @@ object Bench {
           fn(spark, sfDir).count() // warm: plan + codegen + broadcast once
           if (name == "q30_quality_filter" || name == "q44_qf_heuristics")
             graft.pipeline.DocumentsAdapter.clearCache()
+          // the shingle-join queries persist their shingle relation, and
+          // CacheManager matches the timed run's plan-equal relation to the
+          // warmup's entry — clear the catalog cache so the timed run is
+          // the FULL query (one shingling + its consumers on the in-run
+          // cache), not a read of the warmup's. q49 is the last query
+          // alphabetically and q21/q23 precede every memoized pipeline
+          // query, so no later timed run loses a cache it relies on.
+          if (name == "q21_minhash_lsh" || name == "q23_ngram_jaccard" ||
+              name == "q49_jaccard_capped")
+            spark.catalog.clearCache()
           val (_, s) = timed(fn(spark, sfDir).count())
           s
         } catch {
@@ -348,7 +358,11 @@ object Bench {
            |first query's warmup and its timed run, so q30 measures the full
            |train+score+label pipeline and q44 the full heuristic run
            |(JIT-warm), while q31/q46 deliberately measure the incremental
-           |metrics projection over their shared run:
+           |metrics projection over their shared run. The shingle-join
+           |queries (q21/q23/q49) get spark.catalog.clearCache() between
+           |warmup and timing, so each timed run pays its own single
+           |shingling (the warmup's persisted relation is plan-equal and
+           |would otherwise serve the timed run from cache):
            |
            |$qs
            |""".stripMargin

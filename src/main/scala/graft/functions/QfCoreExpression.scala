@@ -59,8 +59,14 @@ case class QfCore(child: Expression) extends UnaryExpression {
     val contentSha = QfCore.hexUtf8(md.digest(bytes))
     val str = s.toString
     val scrubbed = Scrub.scrubString(str)
+    // The scrubbed sha is specified over the RE-ENCODED string (the
+    // labeled view's sha2(scrub(content)) round-trips through
+    // UTF8String.fromString), so the content-sha reuse is only valid when
+    // the input bytes are valid UTF-8 — toString substitutes U+FFFD for
+    // invalid sequences, changing the digest even when scrub changed
+    // nothing. isValid() is one cheap byte scan; invalid rows re-digest.
     val scrubbedSha =
-      if (scrubbed eq str) contentSha // untriggered/unmatched: identical bytes
+      if ((scrubbed eq str) && s.isValid) contentSha
       else {
         md.reset()
         QfCore.hexUtf8(md.digest(scrubbed.getBytes(java.nio.charset.StandardCharsets.UTF_8)))

@@ -60,6 +60,14 @@ object Perplexity {
     * token, zero allocations. Shared by [[graft.dedup.Dedup.simhash64]];
     * equality with `tokens(s).map(_.hashCode)` is asserted by the same
     * differential spec that gates the bucket form.
+    *
+    * The scan loop is DELIBERATELY duplicated from [[foreachTokenBucket]]
+    * rather than expressed as a delegation: the bucket form is the
+    * innermost loop of model training and scoring (Models.train,
+    * Model.perplexity), and routing it through a second megamorphic
+    * `Int => Unit` hop is exactly the kind of indirection the round-3
+    * profile pass removed. The differential spec pins both loops to the
+    * same `tokens()` specification, so they cannot drift silently.
     */
   def foreachTokenHash(s: String)(f: Int => Unit): Unit = {
     var i = 0

@@ -140,9 +140,12 @@ object PipelineQueries {
     // relation are plan-equal, so both read ONE cached shingling
     val sh = Dedup.shingles(docs, "doc_id", "text", 3, Seq("lang"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val maxDf = sh
+    val maxRow = sh
       .groupBy(col("lang"), col("shingle")).agg(count(lit(1)).as("df"))
-      .agg(max(col("df"))).collect()(0).getLong(0)
+      .agg(max(col("df"))).collect()(0)
+    // empty half-corpus → null max; MaxValue takes the (equivalent) uncapped
+    // branch instead of NPE-ing on the primitive getter
+    val maxDf = if (maxRow.isNullAt(0)) Long.MaxValue else maxRow.getLong(0)
     Dedup.jaccardPairs(docs, "doc_id", "text", Seq("lang"), 3, 0.8,
       maxShingleDf = maxDf)
       .orderBy("a_id", "b_id")

@@ -79,13 +79,30 @@ object StreamingQualityFilter {
 
     // the file stream source needs a DIRECTORY basePath (at scale the input
     // is one anyway); the driver testdata ships documents.parquet as a
-    // single file, so stage it into a temp dir via symlink (copy fallback)
+    // single file. Stage every regular data file (the path may itself be a
+    // Spark-written directory) into a temp dir via per-file symlinks so the
+    // source always sees a flat directory of parquet files (copy fallback
+    // for link-less filesystems).
     val work = java.nio.file.Files.createTempDirectory("graft-stream-q48-")
     val inDir = java.nio.file.Files.createDirectory(work.resolve("in"))
     val src = java.nio.file.Paths.get(docsPath)
-    try java.nio.file.Files.createSymbolicLink(inDir.resolve("documents.parquet"), src)
-    catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-      java.nio.file.Files.copy(src, inDir.resolve("documents.parquet")) }
+    val dataFiles: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(src))
+        scala.util.Using.resource(java.nio.file.Files.walk(src)) { st =>
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala
+            .filter(p => java.nio.file.Files.isRegularFile(p) &&
+              !p.getFileName.toString.startsWith("_") &&
+              !p.getFileName.toString.startsWith("."))
+            .toSeq
+        }
+      else Seq(src)
+    dataFiles.zipWithIndex.foreach { case (f, i) =>
+      val dst = inDir.resolve(f"part-$i%05d.parquet")
+      try java.nio.file.Files.createSymbolicLink(dst, f)
+      catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+        java.nio.file.Files.copy(f, dst); () }
+    }
 
     val stream = adapt(spark.readStream.schema(batchDocs.schema).parquet(inDir.toString))
       .withColumn("lang_pred", col("lang"))
@@ -112,6 +129,18 @@ object StreamingQualityFilter {
       .trigger(Trigger.AvailableNow())
       .start(out)
     q.awaitTermination()
+    // staging links and the checkpoint are dead once the run terminates;
+    // `out` must outlive this call (the returned DataFrame reads it lazily)
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+        scala.util.Using.resource(java.nio.file.Files.list(p)) { st =>
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.toSeq.foreach(rm)
+        }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rm(inDir)
+    rm(work.resolve("ckpt"))
     spark.read.parquet(out).orderBy("path")
   }
 

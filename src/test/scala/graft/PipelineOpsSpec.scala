@@ -19,8 +19,11 @@ class PipelineOpsSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, dir)
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", Seq.empty, 3, 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Dedup.lshNearDupPairs(docs, "doc_id", "text", 3, 0.9)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // releasable form: consume the result, then free the shingle cache —
+    // the in-repo usage pattern of the release thunk
+    val (lshDf, release) = Dedup.lshNearDupPairsReleasable(docs, "doc_id", "text", 3, 0.9)
+    val lsh = lshDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    release()
     assert(lsh.subsetOf(exact), "LSH returned a pair below the exact threshold")
     assert(exact.nonEmpty, "test corpus has no near-dup pairs")
     val recall = lsh.intersect(exact).size.toDouble / exact.size
@@ -92,8 +95,9 @@ class PipelineOpsSpec extends AnyFunSuite {
     for (t <- Seq(0.5, 0.8, 0.9)) {
       val naive = Dedup.jaccardPairs(docs, "doc_id", "text", Seq.empty, 3, t)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-      val prefix = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", Seq.empty, 3, t)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val (prefixDf, release) = Dedup.jaccardPairsPrefixReleasable(docs, "doc_id", "text", Seq.empty, 3, t)
+      val prefix = prefixDf.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      release()
       assert(prefix == naive, s"t=$t: prefix join diverges (naive=${naive.size}, prefix=${prefix.size})")
     }
   }
