@@ -65,6 +65,7 @@ object SparkEntry {
     "q47_ann_lsh_exact"   -> (PipelineQueries.q47AnnLshExact _),
     "q48_qf_stream"       -> (graft.streaming.StreamingQualityFilter.availableNowHeuristics _),
     "q49_jaccard_capped"  -> (PipelineQueries.q49JaccardCapped _),
+    "q50_jsonl_roundtrip" -> (PipelineQueries.q50JsonlRoundtrip _),
     // flagship pipeline (not SQL-expressible: broadcast-model stages) —
     // driver records rows-only checks for these two.
     "q30_quality_filter"  -> (DocumentsAdapter.qualityFilterQuery _),
@@ -119,5 +120,8 @@ object SparkEntry {
     "q48_qf_stream"       -> PipelineSql.q44QfHeuristics,
     // capped at max df the stop-shingle plan returns the naive join's pairs
     "q49_jaccard_capped"  -> PipelineSql.q49JaccardCapped,
+    // DuckDB reads the parquet original; Spark reads its own JSONL staging
+    // of it — equality proves the JSONL source/sink round-trip is lossless
+    "q50_jsonl_roundtrip" -> PipelineSql.q50JsonlRoundtrip,
   )
 }

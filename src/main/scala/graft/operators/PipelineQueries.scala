@@ -151,6 +151,25 @@ object PipelineQueries {
       .orderBy("a_id", "b_id")
   }
 
+  /** JSONL source round-trip: stage the documents table as JSON-Lines
+    * (Spark partitioned json writer), read it back through the
+    * explicit-schema [[graft.sources.Jsonl]] reader, and project a
+    * value-bearing fingerprint of every row — oracled by DuckDB over the
+    * PARQUET original, so the gate proves the JSONL encode+decode path is
+    * lossless (sha over text catches any escaping/encoding drift).
+    */
+  def q50JsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val stage = java.nio.file.Files.createTempDirectory("graft-jsonl-")
+      .resolve("docs").toString
+    graft.sources.Jsonl.write(docs, stage)
+    graft.sources.Jsonl.read(s, stage, docs.schema)
+      .select(col("doc_id"), col("lang"), col("source"),
+        sha2(col("text").cast("binary"), 256).as("text_sha"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Token/stopword quality metrics aggregated per lang. */
   def q28TextQuality(s: SparkSession, dir: String): DataFrame = {
     val d = TextAnalysis.withTokenMetrics(Tables.spread(Tables.documents(s, dir)))
@@ -254,6 +273,15 @@ object PipelineSql {
       |) WHERE j >= 0.8 ORDER BY a_id, b_id""".stripMargin
 
   val q23NgramJaccard: String = ngramJaccardSqlFrom("documents")
+
+  /** q50 oracle: the same per-row fingerprint computed directly over the
+    * parquet original — equality proves the staged JSONL carried every
+    * value losslessly through encode + decode.
+    */
+  val q50JsonlRoundtrip: String =
+    """SELECT doc_id, lang, source, sha256(text) AS text_sha,
+      |  CAST(length(text) AS BIGINT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   val q49JaccardCapped: String =
     ngramJaccardSqlFrom("(SELECT * FROM documents WHERE doc_id % 2 = 0)")

@@ -1,0 +1,29 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** JSON-Lines source/sink — the interchange format most LLM training-data
+  * pipelines stage documents in (one JSON object per line).
+  *
+  * Reads use an EXPLICIT schema, never inference: schema inference is a
+  * full extra pass over the data and its result depends on which rows the
+  * sampler saw — both unacceptable at 100 TB (the same rule the engine
+  * applies to CSV, SURVEY.md §1.3). JSONL splits at line boundaries, so a
+  * directory of files reads fully parallel with no row-group floor; writes
+  * go through Spark's partitioned json writer (one file per task, same
+  * layout discipline as the parquet sinks).
+  *
+  * Fidelity contract: JSON string escaping is lossless for any valid
+  * Unicode string (newlines, quotes, non-BMP), and long/string columns
+  * round-trip value-exact — gated by q50 (write + read back vs the parquet
+  * original, DuckDB-oracled) and the adversarial round-trip spec.
+  */
+object Jsonl {
+
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def write(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+}

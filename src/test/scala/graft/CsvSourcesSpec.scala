@@ -16,6 +16,29 @@ class CsvSourcesSpec extends AnyFunSuite {
   private val censusDir = "/root/reference/src/censusData"
   private val nationalDir = "/root/reference/src/nationalData"
 
+  test("JSONL round-trip is lossless on adversarial strings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, "plain ascii"),
+      (2L, "embedded \"quotes\" and \\ backslashes"),
+      (3L, "newline\nand\ttab and\rcarriage"),
+      (4L, "unicode: tøkens blïss é中文"),
+      (5L, "non-BMP emoji: 😀🎉"),
+      (6L, "control  char and replacement �"),
+      (7L, ""),
+      (8L, "  leading/trailing  "),
+      (9L, "{\"looks\":\"like json\"}"),
+      (10L, "null"))
+    val df = rows.toDF("id", "text")
+    val stage = java.nio.file.Files.createTempDirectory("graft-jsonl-spec-")
+      .resolve("t").toString
+    graft.sources.Jsonl.write(df, stage)
+    val back = graft.sources.Jsonl.read(spark, stage, df.schema)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(back.toSeq == rows.sortBy(_._1))
+  }
+
   test("S3 census scan: BOM-headed file parses with explicit schema") {
     val df = CensusCsv.readCensus(spark, s"$censusDir/Canada.csv")
     assert(df.columns.toSeq == Seq("year", "species", "population", "source"))
