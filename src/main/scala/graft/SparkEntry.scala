@@ -66,6 +66,7 @@ object SparkEntry {
     "q48_qf_stream"       -> (graft.streaming.StreamingQualityFilter.availableNowHeuristics _),
     "q49_jaccard_capped"  -> (PipelineQueries.q49JaccardCapped _),
     "q50_jsonl_roundtrip" -> (PipelineQueries.q50JsonlRoundtrip _),
+    "q51_bucketed_join"   -> (Relational.q51BucketedJoin _),
     // flagship pipeline (not SQL-expressible: broadcast-model stages) —
     // driver records rows-only checks for these two.
     "q30_quality_filter"  -> (DocumentsAdapter.qualityFilterQuery _),
@@ -123,5 +124,7 @@ object SparkEntry {
     // DuckDB reads the parquet original; Spark reads its own JSONL staging
     // of it — equality proves the JSONL source/sink round-trip is lossless
     "q50_jsonl_roundtrip" -> PipelineSql.q50JsonlRoundtrip,
+    // bucketed co-located join: same result as the shuffle join, same oracle
+    "q51_bucketed_join"   -> RelationalSql.q05JoinShuffle,
   )
 }

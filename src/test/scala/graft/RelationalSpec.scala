@@ -45,4 +45,22 @@ class RelationalSpec extends AnyFunSuite {
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("bucketed join is co-located (no orderkey exchange) and equals the shuffle join") {
+    import graft.operators.Relational
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // disable broadcast so the plan-shape assertion tests BUCKETING, not a
+    // small-table broadcast that would also avoid the shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Relational.q51BucketedJoin(spark, dir)
+      val rows = df.collect().map(_.toString).toSeq
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join still shuffles on the join key:\n$plan")
+      val shuffle = Relational.q05JoinShuffle(spark, dir).collect().map(_.toString).toSeq
+      assert(rows == shuffle, "bucketed join result differs from the shuffle join twin")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+  }
 }
