@@ -345,13 +345,17 @@ object Dedup {
   def lshNearDupPairsDistinct(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
       k: Int = MinHashK, bands: Int = Bands): DataFrame = {
-    val bySha = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_sha")).orderBy(col(idCol).asc)
+    // min-id representative per sha via a STRUCT-MIN AGGREGATION, not a
+    // window: struct ordering is field-by-field, so min(struct(id, text))
+    // is the min-id row — and hash aggregation gets map-side combine
+    // (duplicate clusters collapse inside each task BEFORE the shuffle,
+    // where a window must shuffle+sort every copy of the content). The
+    // shuffle key is the 32-byte sha either way.
     val reps = df
       .withColumn("_sha", sha2(col(textCol).cast("binary"), 256))
-      .withColumn("_rn", row_number().over(bySha))
-      .filter(col("_rn") === 1)
-      .drop("_sha", "_rn")
+      .groupBy(col("_sha"))
+      .agg(min(struct(col(idCol), col(textCol))).as("_rep"))
+      .select(col(s"_rep.$idCol").as(idCol), col(s"_rep.$textCol").as(textCol))
     lshNearDupPairs(reps, idCol, textCol, n, threshold, k, bands)
   }
 
