@@ -65,16 +65,24 @@ object Dedup {
   /** Distinct word n-gram shingles per row: (id, blockCols..., shingle).
     * Sequence is guarded so short texts yield no shingles (Spark's default
     * descending step on reversed bounds would otherwise fire).
+    *
+    * Dedup is PER-ROW (`array_distinct` before the explode), not a global
+    * `.distinct()`: a document's shingles all live in its one input row, so
+    * the row-local dedup yields the same relation while eliminating an
+    * entire shuffle of the exploded shingle set — the difference between
+    * one map-side pass and re-partitioning every (id, shingle) pair at
+    * 100 TB. Contract: `idCol` identifies one text row (every caller here
+    * feeds a keyed table); duplicate ids would need the global distinct
+    * this deliberately does not pay for.
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
       blockCols: Seq[String] = Seq.empty): DataFrame = {
     val ws = split(col(textCol), " ")
     val idxs = when(size(ws) >= n, sequence(lit(1), size(ws) - (n - 1)))
       .otherwise(array().cast("array<int>"))
-    val sh = transform(idxs, i =>
-      concat_ws(" ", (0 until n).map(o => element_at(ws, i + o)): _*))
+    val sh = array_distinct(transform(idxs, i =>
+      concat_ws(" ", (0 until n).map(o => element_at(ws, i + o)): _*)))
     df.select((idCol +: blockCols).map(col) :+ explode(sh).as("shingle"): _*)
-      .distinct()
   }
 
   /** Exact pairwise Jaccard ≥ threshold via shingle equi-join within blocks
