@@ -21,8 +21,21 @@ import org.apache.spark.sql.types.StructType
   */
 object Jsonl {
 
+  /** Permissive read (Spark default): a malformed line yields a row of
+    * nulls SILENTLY — acceptable only when a downstream rule (the quality
+    * filter's `empty` reason) quarantines such rows. Pipelines that must
+    * not lose lines use [[readStrict]].
+    */
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** FAILFAST read: any malformed line fails the job loudly instead of
+    * degrading to nulls — the right default for an ingest whose row count
+    * is a contract (a 100 TB crawl drop should be a visible incident, not
+    * a silent shrink).
+    */
+  def readStrict(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "FAILFAST").json(path)
 
   def write(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)

@@ -39,6 +39,23 @@ class CsvSourcesSpec extends AnyFunSuite {
     assert(back.toSeq == rows.sortBy(_._1))
   }
 
+  test("JSONL corrupt lines: permissive read nulls them, strict read fails loudly") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-bad-")
+    java.nio.file.Files.write(dir.resolve("a.jsonl"),
+      "{\"id\": 1, \"text\": \"ok\"}\nnot json at all\n{\"id\": 3, \"text\": \"also ok\"}\n"
+        .getBytes("UTF-8"))
+    val schema = new StructType().add("id", LongType).add("text", StringType)
+    val permissive = graft.sources.Jsonl.read(spark, dir.toString, schema)
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)))
+    assert(permissive.sorted.toSeq == Seq(-1L, 1L, 3L), "permissive read must null the bad line")
+    val ex = intercept[org.apache.spark.SparkException] {
+      graft.sources.Jsonl.readStrict(spark, dir.toString, schema).collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("malformed") ||
+      Option(ex.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
+  }
+
   test("S3 census scan: BOM-headed file parses with explicit schema") {
     val df = CensusCsv.readCensus(spark, s"$censusDir/Canada.csv")
     assert(df.columns.toSeq == Seq("year", "species", "population", "source"))
