@@ -214,7 +214,9 @@ object Dedup {
       .join(aSh, "a_id")                 // (a, b, shingle of a)
       .join(bSh, Seq("b_id", "shingle")) // keep shingles present in b too
       .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("inter"))    // sh is distinct per (id, shingle)
+      // sh carries each (id, shingle) once — guaranteed by [[shingles]]'
+      // per-row dedup under its unique-id contract (see its scaladoc)
+      .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col(idCol).as("a_id"), col("n_sh").as("na")), "a_id")
       .join(sizes.select(col(idCol).as("b_id"), col("n_sh").as("nb")), "b_id")

@@ -88,16 +88,8 @@ object Relational {
     * (sort-merge or shuffled-hash) on the join key; AQE handles skew. The
     * revenue product is computed in exact decimal before summing.
     */
-  def q05JoinShuffle(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-    val o  = Tables.orders(s, dir)
-    val revenue = col("l_extendedprice").cast(DecimalType(18, 2)) *
-      (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2)))
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_lines"), sum(revenue).cast("double").as("revenue"))
-      .orderBy("o_orderpriority")
-  }
+  def q05JoinShuffle(s: SparkSession, dir: String): DataFrame =
+    priorityRevenueAgg(Tables.lineitem(s, dir), Tables.orders(s, dir))
 
   /** Bucketed-twin staging for [[q51BucketedJoin]]: orders and lineitem
     * written ONCE per (session, sf dir) as 8-bucket external tables on
@@ -108,21 +100,33 @@ object Relational {
     * many times" layout (Iceberg bucket partition transform / Hive
     * bucketing); the shuffle is paid once at layout time, not per query.
     */
-  private val bucketedDirs = scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Unit]
+  // plain map: the object-level synchronized block (held across the two
+  // staging write jobs) IS the exclusion mechanism — a concurrent map here
+  // would only suggest lock-free access that doesn't exist
+  private val bucketedDirs = scala.collection.mutable.Set.empty[(SparkSession, String)]
+
+  /** Catalog names are suffixed with a hash of the sf dir: table names are
+    * catalog-global, so without the suffix a second dir in the same session
+    * (or a sibling session sharing the SharedState catalog) would overwrite
+    * the first dir's tables while its memo entry still claimed them staged
+    * — silently joining the wrong dataset.
+    */
+  private def bucketedName(table: String, dir: String): String =
+    f"graft_${table}_bucketed_${dir.hashCode & 0x7fffffff}%08x"
 
   private def ensureBucketed(s: SparkSession, dir: String): Unit = synchronized {
-    bucketedDirs.filterInPlace { case ((sess, _), _) => !sess.sparkContext.isStopped }
+    bucketedDirs.filterInPlace { case (sess, _) => !sess.sparkContext.isStopped }
     if (!bucketedDirs.contains((s, dir))) {
       val base = java.nio.file.Files.createTempDirectory("graft-bucketed-")
       Tables.orders(s, dir).write
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .option("path", base.resolve("orders").toString)
-        .mode("overwrite").saveAsTable("graft_orders_bucketed")
+        .mode("overwrite").saveAsTable(bucketedName("orders", dir))
       Tables.lineitem(s, dir).write
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", base.resolve("lineitem").toString)
-        .mode("overwrite").saveAsTable("graft_lineitem_bucketed")
-      bucketedDirs((s, dir)) = ()
+        .mode("overwrite").saveAsTable(bucketedName("lineitem", dir))
+      bucketedDirs += ((s, dir))
     }
   }
 
@@ -135,8 +139,14 @@ object Relational {
     */
   def q51BucketedJoin(s: SparkSession, dir: String): DataFrame = {
     ensureBucketed(s, dir)
-    val li = s.table("graft_lineitem_bucketed")
-    val o = s.table("graft_orders_bucketed")
+    priorityRevenueAgg(s.table(bucketedName("lineitem", dir)),
+      s.table(bucketedName("orders", dir)))
+  }
+
+  /** The one revenue-per-priority aggregation both join twins share — the
+    * q05/q51 oracle equality depends on these being the SAME expressions.
+    */
+  private def priorityRevenueAgg(li: DataFrame, o: DataFrame): DataFrame = {
     val revenue = col("l_extendedprice").cast(DecimalType(18, 2)) *
       (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2)))
     li.join(o, li("l_orderkey") === o("o_orderkey"))
