@@ -67,6 +67,7 @@ object SparkEntry {
     "q49_jaccard_capped"  -> (PipelineQueries.q49JaccardCapped _),
     "q50_jsonl_roundtrip" -> (PipelineQueries.q50JsonlRoundtrip _),
     "q51_bucketed_join"   -> (Relational.q51BucketedJoin _),
+    "q52_emb_lsh_exact"   -> (PipelineQueries.q52EmbLshPairsExact _),
     // flagship pipeline (not SQL-expressible: broadcast-model stages) —
     // driver records rows-only checks for these two.
     "q30_quality_filter"  -> (DocumentsAdapter.qualityFilterQuery _),
@@ -126,5 +127,7 @@ object SparkEntry {
     "q50_jsonl_roundtrip" -> PipelineSql.q50JsonlRoundtrip,
     // bucketed co-located join: same result as the shuffle join, same oracle
     "q51_bucketed_join"   -> RelationalSql.q05JoinShuffle,
+    // LSH pair generator with one bucket per block ≡ the brute blocked join
+    "q52_emb_lsh_exact"   -> PipelineSql.q24EmbDup,
   )
 }

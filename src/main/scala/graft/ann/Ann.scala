@@ -200,6 +200,51 @@ object Ann {
       .select(col("q_id"), col("rk"), col("n_id"), col("simr"))
   }
 
+  /** Embedding near-dup PAIRS via hyperplane-LSH blocking — the 100 TB
+    * path for the all-pairs cosine join: candidates are pairs sharing a
+    * band signature within their block (shuffle O(n·bands), never the
+    * within-block O(n²) cross join), then exact-cosine verified at the
+    * threshold. `nBits = 0, bands = 1` is the degenerate-complete mode
+    * (one bucket per block ⇒ candidates = all within-block pairs), which
+    * makes the result arithmetically identical to the brute-force blocked
+    * join — the q24 DuckDB oracle value-checks the whole banded-join +
+    * verify machinery (the q45/q47 trick). Realistic blockings trade
+    * recall for candidate volume (spec-gated).
+    */
+  def lshNearDupPairsEmb(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: Option[String], threshold: Double, dim: Int,
+      nBits: Int = 16, bands: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(nBits % bands == 0 && nBits <= 30, s"nBits=$nBits, bands=$bands")
+    val bitsPerBand = nBits / bands
+    val bc = spark.sparkContext.broadcast(planes(dim, nBits))
+    val base = df.select(
+      col(idCol).cast("long").as("id"),
+      blockCol.map(col).getOrElse(lit("")).cast("string").as("blk"),
+      col(vecCol).as("v"))
+    val banded = base.as[(Long, String, Array[Float])]
+      .mapPartitions { it =>
+        val pl = bc.value
+        it.flatMap { case (i, blk, v) =>
+          val sig = signature(v, pl)
+          (0 until bands).iterator.map { b =>
+            (i, blk, b, (sig >> (b * bitsPerBand)) & ((1 << bitsPerBand) - 1))
+          }
+        }
+      }.toDF("id", "blk", "band", "bits")
+    val cands = banded.as("x").join(banded.as("y"), Seq("blk", "band", "bits"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .distinct()
+    cands
+      .join(base.select(col("id").as("a_id"), col("v").as("va")), "a_id")
+      .join(base.select(col("id").as("b_id"), col("v").as("vb")), "b_id")
+      .withColumn("simr", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("simr") >= threshold)
+      .select(col("a_id"), col("b_id"), col("simr"))
+  }
+
   /** LSH ANN: nBits hyperplane signatures, `bands` bands × nBits/bands bits
     * candidate blocking, exact cosine re-rank of candidates, top-k per
     * query. More bits per band → fewer, higher-precision candidates; more

@@ -185,6 +185,17 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** Embedding near-dup pairs through the LSH-blocked pair generator in
+    * degenerate-complete mode (nBits = 0, bands = 1 ⇒ one bucket per label
+    * block) — arithmetically the brute-force blocked join, so q24's DuckDB
+    * oracle value-checks the banded self-join + exact-cosine verify
+    * machinery end-to-end. Realistic blockings are recall-gated by spec.
+    */
+  def q52EmbLshPairsExact(s: SparkSession, dir: String): DataFrame =
+    Ann.lshNearDupPairsEmb(Tables.spread(Tables.embeddings(s, dir)),
+      "vec_id", "embedding", Some("label"), 0.4, 64, nBits = 0, bands = 1)
+      .orderBy("a_id", "b_id")
+
   /** Token/stopword quality metrics aggregated per lang. */
   def q28TextQuality(s: SparkSession, dir: String): DataFrame = {
     val d = TextAnalysis.withTokenMetrics(Tables.spread(Tables.documents(s, dir)))

@@ -188,6 +188,24 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 100L)), s"identical pair missed: $pairs")
   }
 
+  test("embedding LSH pair generator: degenerate mode equals brute blocked join; realistic mode is a high-recall subset") {
+    val e = Tables.embeddings(spark, dir)
+    val brute = graft.operators.PipelineQueries.q24EmbDup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Ann.lshNearDupPairsEmb(e, "vec_id", "embedding", Some("label"), 0.4, 64,
+      nBits = 0, bands = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == brute, "degenerate blocking must equal the brute blocked join")
+    val lsh = Ann.lshNearDupPairsEmb(e, "vec_id", "embedding", Some("label"), 0.4, 64,
+      nBits = 16, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute), "verified candidates can never exceed the exact set")
+    assert(brute.nonEmpty)
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    info(s"brute=${brute.size} lsh=${lsh.size} recall=$recall")
+    assert(recall >= 0.6, s"recall $recall too low for (16, 4) at threshold 0.4")
+  }
+
   test("LSH degenerate blocking (nBits=0, bands=1) equals brute force row-for-row") {
     val e = Tables.embeddings(spark, dir)
     val q = e.filter(col("vec_id") % 97 === 0)
