@@ -68,6 +68,10 @@ object SparkEntry {
     "q50_jsonl_roundtrip" -> (PipelineQueries.q50JsonlRoundtrip _),
     "q51_bucketed_join"   -> (Relational.q51BucketedJoin _),
     "q52_emb_lsh_exact"   -> (PipelineQueries.q52EmbLshPairsExact _),
+    "q53_scrub_exact"     -> (PipelineQueries.q53ScrubExact _),
+    "q54_snapshot"        -> (SnapshotQueries.q54SnapshotRoundtrip _),
+    "q55_simhash_pairs"   -> (PipelineQueries.q55SimhashPairs _),
+    "q56_jaccard_capped_real" -> (PipelineQueries.q56JaccardCappedReal _),
     // flagship pipeline (not SQL-expressible: broadcast-model stages) —
     // driver records rows-only checks for these two.
     "q30_quality_filter"  -> (DocumentsAdapter.qualityFilterQuery _),
@@ -129,5 +133,16 @@ object SparkEntry {
     "q51_bucketed_join"   -> RelationalSql.q05JoinShuffle,
     // LSH pair generator with one bucket per block ≡ the brute blocked join
     "q52_emb_lsh_exact"   -> PipelineSql.q24EmbDup,
+    // deterministic PII injection + the scrub chain replayed as RE2
+    // regexp_replace in rule order — the byte-stable-scrub value gate
+    "q53_scrub_exact"     -> PipelineSql.q53ScrubExact,
+    // two-commit snapshot table read back (latest + incremental diff)
+    // against the parquet original
+    "q54_snapshot"        -> SnapshotSql.q54SnapshotRoundtrip,
+    // the stop-shingle approximation at a cap that actually filters, vs a
+    // DuckDB twin of the capped candidate semantics
+    "q56_jaccard_capped_real" -> PipelineSql.q56JaccardCappedReal,
+    // (q55_simhash_pairs stays rows-only: simhash signatures aren't
+    // DuckDB-expressible; spec-gated like q22)
   )
 }

@@ -1,0 +1,90 @@
+package graft.core
+
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import scala.util.Using
+
+/** Driver-side staging utilities shared by the queries that materialize a
+  * derived copy of an input table (q50's JSONL staging, q54's snapshot
+  * table): content-identity fingerprints and atomic publish-once directory
+  * staging.
+  *
+  * Why a fingerprint in the PATH and not a session-keyed memo: the staged
+  * artifact's validity depends only on the input's content identity — a
+  * changed input must never serve a stale staging, and two sessions (or two
+  * JVMs) over the SAME input must be able to share one staging without one
+  * overwriting files the other is lazily reading. Folding the fingerprint
+  * into the directory name gives both properties with no coordination; the
+  * atomic rename below closes the remaining cross-process write race.
+  */
+object Staging {
+
+  /** Content-identity fingerprint of a parquet file/directory: FNV-1a over
+    * (name, size, nanosecond mtime) of every regular file plus the file
+    * count — no data scan. Nanosecond mtimes + count make a same-millisecond
+    * in-place rewrite with identical names/sizes (fast-FS fixture
+    * regeneration) fingerprint differently.
+    */
+  def inputFingerprint(path: Path): Long = {
+    if (!Files.exists(path)) 0L
+    else Using.resource(Files.walk(path)) { st =>
+      val files = st.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
+      val parts = files
+        .map(f => s"${f.getFileName}:${Files.size(f)}:" +
+          s"${Files.getLastModifiedTime(f).to(java.util.concurrent.TimeUnit.NANOSECONDS)}")
+        .sorted
+      (s"n=${files.size}" +: parts)
+        .foldLeft(-3750763034362895579L) { (h, s) => // FNV-1a 64
+          s.foldLeft(h)((x, c) => (x ^ c) * 1099511628211L)
+        }
+    }
+  }
+
+  /** Deterministic per-input staging directory under the JVM tmpdir:
+    * `graft-<kind>-<fingerprint-hex>`. Same input ⇒ same path in every
+    * session and process; changed input ⇒ a fresh path (the stale one ages
+    * out with the tmpdir).
+    */
+  def stagePathFor(kind: String, inputPath: Path): Path =
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      f"graft-$kind-${inputFingerprint(inputPath)}%016x")
+
+  /** Publish-once staging: if `target` is already fully staged (its writer's
+    * `_SUCCESS` marker exists), do nothing; otherwise run `write` against a
+    * unique sibling temp dir and atomically rename it into place. Losing the
+    * rename race (another process staged the same content concurrently)
+    * discards our copy — the contents are identical by construction, since
+    * the path is keyed by the input's content fingerprint. No reader can
+    * ever observe a half-written or mid-overwrite `target`.
+    */
+  def stageOnce(target: Path)(write: Path => Unit): Path = {
+    if (!Files.exists(target.resolve("_SUCCESS"))) {
+      val tmp = target.getParent.resolve(
+        s"${target.getFileName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      try {
+        write(tmp)
+        require(Files.exists(tmp.resolve("_SUCCESS")),
+          s"staging writer left no _SUCCESS marker under $tmp")
+      } catch {
+        // a failed writer must not leak its partial temp dir
+        case e: Throwable => deleteRecursively(tmp); throw e
+      }
+      try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // both indicate a concurrent winner on POSIX rename(2)
+        case _: FileAlreadyExistsException | _: java.nio.file.DirectoryNotEmptyException =>
+          deleteRecursively(tmp)
+        case e: java.nio.file.FileSystemException if Files.exists(target) =>
+          deleteRecursively(tmp)
+          if (!Files.exists(target.resolve("_SUCCESS"))) throw e
+      }
+    }
+    target
+  }
+
+  def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      Using.resource(Files.list(p))(_.iterator().asScala.toSeq).foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}

@@ -103,6 +103,7 @@ object Dedup {
       blockCols: Seq[String], n: Int = 3, threshold: Double = 0.8,
       maxShingleDf: Long = Long.MaxValue): DataFrame = {
     requirePositiveThreshold(threshold)
+    assertUniqueIds(df, idCol)
     val sh = shingles(df, idCol, textCol, n, blockCols)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     if (maxShingleDf == Long.MaxValue) {
@@ -171,6 +172,7 @@ object Dedup {
       blockCols: Seq[String], n: Int = 3, threshold: Double = 0.8): (DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
     requirePositiveThreshold(threshold)
+    assertUniqueIds(df, idCol)
     val sh = shingles(df, idCol, textCol, n, blockCols)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
@@ -187,6 +189,26 @@ object Dedup {
       .select("a_id", "b_id").distinct()
     (verifyJaccard(cands, sh, idCol, threshold, sizes), () => { sh.unpersist(); () })
   }
+
+  /** Debug guard for [[shingles]]' unique-id contract (see its scaladoc):
+    * when enabled, the public similarity-join entry points assert
+    * `count(distinct id) == count(*)` on their input before running, so a
+    * caller feeding duplicate ids fails LOUDLY instead of getting plausible
+    * wrong Jaccard values (intersections over-counted; j can exceed 1.0).
+    * Off by default — the check is a full aggregation job per call, which
+    * the hot path must not pay; turn it on in tests and when onboarding a
+    * new input table.
+    */
+  @volatile var validateUniqueIds: Boolean = false
+
+  private def assertUniqueIds(df: DataFrame, idCol: String): Unit =
+    if (validateUniqueIds) {
+      val r = df.agg(count(lit(1)), count_distinct(col(idCol))).collect()(0)
+      require(r.getLong(0) == r.getLong(1),
+        s"duplicate '$idCol' values in similarity-join input " +
+          s"(${r.getLong(0)} rows, ${r.getLong(1)} distinct ids): the per-row " +
+          "shingle dedup requires one row per id — Jaccard values would be wrong")
+    }
 
   /** Contract of every similarity join here: pairs sharing ZERO shingles
     * are never emitted (the intersection is computed by counting joined
@@ -325,6 +347,7 @@ object Dedup {
       k: Int = MinHashK, bands: Int = Bands): (DataFrame, () => Unit) = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     requirePositiveThreshold(threshold)
+    assertUniqueIds(df, idCol)
     val rowsPerBand = k / bands
     val sh = shingles(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -354,20 +377,24 @@ object Dedup {
     */
   def lshNearDupPairsDistinct(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
-      k: Int = MinHashK, bands: Int = Bands): DataFrame = {
-    // min-id representative per sha via a STRUCT-MIN AGGREGATION, not a
-    // window: struct ordering is field-by-field, so min(struct(id, text))
-    // is the min-id row — and hash aggregation gets map-side combine
-    // (duplicate clusters collapse inside each task BEFORE the shuffle,
-    // where a window must shuffle+sort every copy of the content). The
-    // shuffle key is the 32-byte sha either way.
-    val reps = df
-      .withColumn("_sha", sha2(col(textCol).cast("binary"), 256))
+      k: Int = MinHashK, bands: Int = Bands): DataFrame =
+    lshNearDupPairs(shaCollapse(df, idCol, textCol), idCol, textCol, n, threshold, k, bands)
+
+  /** Min-id representative per identical text, via a STRUCT-MIN AGGREGATION,
+    * not a window: struct ordering is field-by-field, so min(struct(id,
+    * text)) is the min-id row — and hash aggregation gets map-side combine
+    * (duplicate clusters collapse inside each task BEFORE the shuffle, where
+    * a window must shuffle+sort every copy of the content). The shuffle key
+    * is the 32-byte sha either way. This is the mandatory pre-pass of every
+    * bucket-blocked near-dup join at scale: identical-content clusters share
+    * every bucket key (band signature, simhash segment, …) and would turn
+    * each bucket quadratic; after the collapse they contribute one row.
+    */
+  def shaCollapse(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("_sha", sha2(col(textCol).cast("binary"), 256))
       .groupBy(col("_sha"))
       .agg(min(struct(col(idCol), col(textCol))).as("_rep"))
       .select(col(s"_rep.$idCol").as(idCol), col(s"_rep.$textCol").as(textCol))
-    lshNearDupPairs(reps, idCol, textCol, n, threshold, k, bands)
-  }
 
   // ---- SimHash -----------------------------------------------------------
 
@@ -433,9 +460,24 @@ object Dedup {
       .toDF(idCol, "simhash")
   }
 
+  /** The 100 TB composition of [[simhashNearDups]] — exactly
+    * [[lshNearDupPairsDistinct]]'s: collapse identical texts to their min-id
+    * representative FIRST ([[shaCollapse]]), then segment-block among
+    * representatives only. Without it, a cluster of m identical texts shares
+    * all four 16-bit segments and contributes ~m²/2 join rows per segment —
+    * the exact quadratic hot key the MinHash path eliminated in round 3.
+    * Pairs are between representatives (near-duplicate CLASSES); cluster
+    * members are already covered by exact dedup.
+    */
+  def simhashNearDupsDistinct(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3): DataFrame =
+    simhashNearDups(shaCollapse(df, idCol, textCol), idCol, textCol, maxDist)
+
   /** Near-dup pairs with Hamming distance ≤ maxDist via 4×16-bit segment
     * blocking (pigeonhole: dist ≤ 3 ⇒ at least one equal segment) +
-    * bit_count verification.
+    * bit_count verification. Identical-content clusters make the segment
+    * buckets quadratic — run [[simhashNearDupsDistinct]] (sha-collapse
+    * composition) on any input that may contain exact duplicates.
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {

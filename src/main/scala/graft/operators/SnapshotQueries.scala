@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.core.{Staging, Tables}
+import graft.table.SnapshotTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-visible queries over the snapshot-table layer ([[SnapshotTable]]:
+  * the from-scratch Iceberg-semantics commit log behind the north rule's
+  * "resumes idempotently from the last committed snapshot").
+  */
+object SnapshotQueries {
+
+  /** q54: first driver-visible value gate on the snapshot-table layer.
+    * Appends the documents table in TWO commits (even doc_ids at v0, odd at
+    * v1, both under idempotent commit keys — re-running the query re-uses
+    * the committed snapshots instead of duplicating data), then reads back
+    * BOTH table surfaces:
+    *   - `latest` rows: the full table at the latest snapshot (v0 ∪ v1);
+    *   - `since_v0` rows: the incremental diff read after v0 — the resume
+    *     path — which must be exactly the second commit.
+    * Each row carries a value fingerprint (sha over text), so the DuckDB
+    * oracle over the ORIGINAL parquet checks commit atomicity, manifest
+    * `live`/`added` bookkeeping, and read-path fidelity value-for-value.
+    *
+    * The table root is keyed by the input's content fingerprint (like the
+    * q50 staging): same input ⇒ one shared table whose re-appends are
+    * no-ops; changed input ⇒ a fresh root, never stale snapshots.
+    */
+  def q54SnapshotRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val root = Staging.stagePathFor("snap",
+      java.nio.file.Paths.get(dir, "documents.parquet"))
+    val t = SnapshotTable(s, root.toString)
+    t.append(docs.filter(col("doc_id") % 2 === 0), "q54-even")
+    t.append(docs.filter(col("doc_id") % 2 =!= 0), "q54-odd")
+    def fp(df: DataFrame, part: String): DataFrame = df.select(
+      lit(part).as("part"), col("doc_id"), col("lang"), col("source"),
+      sha2(col("text").cast("binary"), 256).as("text_sha"))
+    fp(t.read(), "latest")
+      .unionByName(fp(t.readSince(0L).getOrElse(
+        throw new IllegalStateException("snapshot diff after v0 is empty")), "since_v0"))
+      .orderBy("part", "doc_id")
+  }
+}
+
+object SnapshotSql {
+  /** The two read surfaces replayed over the parquet original: `latest` must
+    * equal the full table, `since_v0` the second commit's rows.
+    */
+  val q54SnapshotRoundtrip: String =
+    """SELECT part, doc_id, lang, source, text_sha FROM (
+      |  SELECT 'latest' AS part, doc_id, lang, source, sha256(text) AS text_sha
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'since_v0', doc_id, lang, source, sha256(text)
+      |  FROM documents WHERE doc_id % 2 <> 0
+      |) ORDER BY part, doc_id""".stripMargin
+}

@@ -64,27 +64,9 @@ object DocumentsAdapter {
   private val runs = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Boolean, Long), QualityResult]
 
-  private def fingerprint(dir: String): Long = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    import scala.util.Using
-    val p = Paths.get(dir, "documents.parquet")
-    if (!Files.exists(p)) 0L
-    else Using.resource(Files.walk(p)) { st =>
-      // nanosecond mtime + file count: a same-millisecond in-place rewrite
-      // with identical names/sizes (fast-FS fixture regeneration) must not
-      // collide with the old fingerprint
-      val files = st.iterator().asScala.filter(Files.isRegularFile(_)).toSeq
-      val parts = files
-        .map(f => s"${f.getFileName}:${Files.size(f)}:" +
-          s"${Files.getLastModifiedTime(f).to(java.util.concurrent.TimeUnit.NANOSECONDS)}")
-        .sorted
-      (s"n=${files.size}" +: parts)
-        .foldLeft(-3750763034362895579L) { (h, s) => // FNV-1a 64
-          s.foldLeft(h)((x, c) => (x ^ c) * 1099511628211L)
-        }
-    }
-  }
+  private def fingerprint(dir: String): Long =
+    graft.core.Staging.inputFingerprint(
+      java.nio.file.Paths.get(dir, "documents.parquet"))
 
   private def sharedRun(s: SparkSession, dir: String, models: Boolean = true): QualityResult =
     // coarse lock: TrieMap.getOrElseUpdate is not atomic for the closure,

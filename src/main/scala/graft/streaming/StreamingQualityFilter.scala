@@ -91,6 +91,21 @@ object StreamingQualityFilter {
         scala.util.Using.resource(java.nio.file.Files.walk(src)) { st =>
           import scala.jdk.CollectionConverters._
           st.iterator().asScala
+            // Hive-style partitioning keeps the partition values in
+            // `name=value` DIRECTORY names, not in the files: flattening
+            // such a layout would feed the explicit-schema stream silent
+            // nulls for the partition columns while the batch side recovers
+            // them — a silent stream/batch divergence. Fail loudly instead
+            // (a partitioned input should be streamed via basePath).
+            .map { p =>
+              if (java.nio.file.Files.isDirectory(p) && p != src &&
+                  p.getFileName.toString.contains("="))
+                throw new IllegalStateException(
+                  s"Hive-partitioned input layout under $src (directory " +
+                    s"'${p.getFileName}'): flattening would drop the partition " +
+                    "columns — stream this input with a basePath read instead")
+              p
+            }
             .filter(p => java.nio.file.Files.isRegularFile(p) &&
               !p.getFileName.toString.startsWith("_") &&
               !p.getFileName.toString.startsWith("."))

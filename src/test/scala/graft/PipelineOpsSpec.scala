@@ -301,4 +301,61 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(agg.getLong(0) == total)
     info(s"groups=${agg.getLong(1)} rows=$total")
   }
+
+  test("sha-collapsed simhash pairs equal plain simhash on duplicate-free input and bound clone buckets") {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir).select("doc_id", "text")
+    val plain = Dedup.simhashNearDups(base, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // duplicate-free input: the collapse is a no-op on the pair set
+    val distinctOnBase = Dedup.simhashNearDupsDistinct(base, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(distinctOnBase == plain)
+
+    // duplicate-heavy generator: m exact clones of one text share all four
+    // 16-bit segments — the quadratic hot bucket the collapse must remove
+    val m = 60
+    val clone = base.filter(col("doc_id") === 1).select(col("text"))
+      .collect()(0).getString(0)
+    val withClones = base.unionByName(
+      (0 until m).map(i => (200000L + i, clone)).toDF("doc_id", "text"))
+    val dedup = Dedup.simhashNearDupsDistinct(withClones, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // representatives of the clone group = doc 1 itself (min id): the pair
+    // set over representatives equals the duplicate-free run exactly
+    assert(dedup == plain)
+    // bucket boundedness: after the collapse, every (segment, value) bucket
+    // holds at most one row per DISTINCT text — the clone cluster
+    // contributes 1, not m (plain blocking would put all m+1 copies in the
+    // same four buckets → ~m²/2 join rows per segment)
+    val reps = Dedup.shaCollapse(withClones, "doc_id", "text")
+    val maxBucket = Dedup.simhashes(reps, "doc_id", "text")
+      .select(explode(array((0 until 4).map { s =>
+        struct(lit(s).as("seg"),
+          shiftrightunsigned(col("simhash"), s * 16).bitwiseAND(lit(0xffffL)).as("segv"))
+      }: _*)).as("e"))
+      .groupBy(col("e.seg"), col("e.segv")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).collect()(0).getLong(0)
+    val nDistinctTexts = withClones.select("text").distinct().count()
+    assert(maxBucket <= nDistinctTexts, s"bucket $maxBucket exceeds distinct texts $nDistinctTexts")
+    info(s"max segment bucket after collapse: $maxBucket (clone cluster size ${m + 1})")
+  }
+
+  test("duplicate-id inputs fail loudly when validateUniqueIds is on") {
+    import spark.implicits._
+    val dup = Seq((1L, "alpha beta gamma delta"), (1L, "alpha beta gamma delta"),
+      (2L, "epsilon zeta eta theta")).toDF("doc_id", "text")
+    Dedup.validateUniqueIds = true
+    try {
+      intercept[IllegalArgumentException](
+        Dedup.jaccardPairs(dup, "doc_id", "text", Seq.empty, 3, 0.8).collect())
+      intercept[IllegalArgumentException](
+        Dedup.jaccardPairsPrefix(dup, "doc_id", "text", Seq.empty, 3, 0.8).collect())
+      intercept[IllegalArgumentException](
+        Dedup.lshNearDupPairs(dup, "doc_id", "text", 3, 0.8).collect())
+      // the sha-collapse front-ends produce unique ids by construction, so
+      // the guarded entry points they call must pass under the same flag
+      assert(Dedup.lshNearDupPairsDistinct(dup, "doc_id", "text", 3, 0.8).collect() != null)
+    } finally Dedup.validateUniqueIds = false
+  }
 }

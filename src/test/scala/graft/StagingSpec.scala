@@ -1,0 +1,112 @@
+package graft
+
+import graft.core.Staging
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Specs for the shared staging layer (content fingerprints + atomic
+  * publish-once directories) that backs q50's JSONL staging and q54's
+  * snapshot-table root.
+  */
+class StagingSpec extends AnyFunSuite {
+
+  test("inputFingerprint tracks content identity: names, sizes, mtimes, file count") {
+    val d = Files.createTempDirectory("graft-staging-fp-")
+    val f = d.resolve("part-0.parquet")
+    Files.write(f, "abc".getBytes)
+    val fp0 = Staging.inputFingerprint(d)
+    assert(fp0 == Staging.inputFingerprint(d), "fingerprint not deterministic")
+    // size change
+    Files.write(f, "abcd".getBytes)
+    val fp1 = Staging.inputFingerprint(d)
+    assert(fp1 != fp0)
+    // mtime-only change (same size): nanosecond mtimes must catch it
+    Files.setLastModifiedTime(f, java.nio.file.attribute.FileTime.fromMillis(
+      Files.getLastModifiedTime(f).toMillis + 1234))
+    assert(Staging.inputFingerprint(d) != fp1)
+    // file-count change
+    Files.write(d.resolve("part-1.parquet"), "x".getBytes)
+    assert(Staging.inputFingerprint(d) != fp1)
+    // missing path is the zero fingerprint
+    assert(Staging.inputFingerprint(d.resolve("nope")) == 0L)
+  }
+
+  test("stagePathFor is stable per input content and distinct across kinds/content") {
+    val d = Files.createTempDirectory("graft-staging-path-")
+    Files.write(d.resolve("a"), "abc".getBytes)
+    val p1 = Staging.stagePathFor("jsonl", d)
+    assert(p1 == Staging.stagePathFor("jsonl", d))
+    assert(p1 != Staging.stagePathFor("snap", d))
+    Files.write(d.resolve("a"), "abcd".getBytes)
+    assert(p1 != Staging.stagePathFor("jsonl", d))
+  }
+
+  test("stageOnce publishes atomically and never re-runs the writer for a staged target") {
+    val base = Files.createTempDirectory("graft-staging-once-")
+    val target = base.resolve("t1")
+    var calls = 0
+    Staging.stageOnce(target) { tmp =>
+      calls += 1
+      Files.createDirectories(tmp)
+      Files.write(tmp.resolve("data"), "payload".getBytes)
+      Files.write(tmp.resolve("_SUCCESS"), Array.empty[Byte])
+    }
+    assert(calls == 1)
+    assert(new String(Files.readAllBytes(target.resolve("data"))) == "payload")
+    // second call: writer must NOT run again (the _SUCCESS marker short-circuits)
+    Staging.stageOnce(target) { _ => calls += 1; fail("writer re-ran for a staged target") }
+    assert(calls == 1)
+    // no temp debris left behind
+    import scala.jdk.CollectionConverters._
+    val leftovers = scala.util.Using.resource(Files.list(base))(
+      _.iterator().asScala.map(_.getFileName.toString).toSeq)
+    assert(leftovers == Seq("t1"), s"staging debris: $leftovers")
+  }
+
+  test("stageOnce tolerates a concurrent winner: loser discards its copy, target intact") {
+    val base = Files.createTempDirectory("graft-staging-race-")
+    val target = base.resolve("t2")
+    // simulate the race: the 'winner' publishes while the loser's writer runs
+    Staging.stageOnce(target) { tmp =>
+      Files.createDirectories(tmp)
+      Files.write(tmp.resolve("data"), "loser".getBytes)
+      Files.write(tmp.resolve("_SUCCESS"), Array.empty[Byte])
+      // winner lands first (same content identity by construction in real use)
+      val winnerTmp = base.resolve("t2.tmp-winner")
+      Files.createDirectories(winnerTmp)
+      Files.write(winnerTmp.resolve("data"), "winner".getBytes)
+      Files.write(winnerTmp.resolve("_SUCCESS"), Array.empty[Byte])
+      Files.move(winnerTmp, target, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    assert(new String(Files.readAllBytes(target.resolve("data"))) == "winner")
+    import scala.jdk.CollectionConverters._
+    val leftovers = scala.util.Using.resource(Files.list(base))(
+      _.iterator().asScala.map(_.getFileName.toString).toSeq)
+    assert(leftovers == Seq("t2"), s"race left debris: $leftovers")
+  }
+
+  test("stageOnce refuses a writer that leaves no _SUCCESS marker") {
+    val base = Files.createTempDirectory("graft-staging-nosucc-")
+    val target = base.resolve("t3")
+    intercept[IllegalArgumentException](
+      Staging.stageOnce(target) { tmp =>
+        Files.createDirectories(tmp)
+        Files.write(tmp.resolve("data"), "partial".getBytes)
+      })
+    assert(!Files.exists(target), "unmarked staging must not be published")
+  }
+
+  test("q54 snapshot roundtrip is idempotent across repeated invocations (no duplicate commits)") {
+    val spark = graft.core.GraftSession.local(4, "staging-q54-spec")
+    val dir = "/root/testdata/sf0.001"
+    def collect() = graft.operators.SnapshotQueries.q54SnapshotRoundtrip(spark, dir)
+      .collect().map(_.toString).toSeq
+    val first = collect()
+    val second = collect()
+    assert(first == second, "re-running q54 changed the result (commits duplicated?)")
+    // the underlying table holds exactly the two idempotent commits
+    val root = Staging.stagePathFor("snap", Paths.get(dir, "documents.parquet"))
+    val t = graft.table.SnapshotTable(spark, root.toString)
+    assert(t.snapshots().map(_.commitKey) == Seq("q54-even", "q54-odd"))
+  }
+}

@@ -46,6 +46,18 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
       s"stream (${streamed.length} rows) vs batch (${batch.length} rows) diverge")
   }
 
+  test("q48 staging fails loudly on a Hive-partitioned input instead of silently nulling partition columns") {
+    // a documents.parquet written with partitionBy keeps the partition
+    // column in DIRECTORY names; flattening the files would feed the
+    // explicit-schema stream silent nulls for it while batch recovers it
+    val sfDir = Files.createTempDirectory("graft-q48-part-").toString
+    graft.core.Tables.documents(spark, "/root/testdata/sf0.001").limit(20)
+      .write.partitionBy("lang").parquet(s"$sfDir/documents.parquet")
+    val ex = intercept[IllegalStateException](
+      StreamingQualityFilter.availableNowHeuristics(spark, sfDir))
+    assert(ex.getMessage.contains("Hive-partitioned"), ex.getMessage)
+  }
+
   test("windowed keep-rate aggregation with watermark runs on a stream") {
     val dir = Files.createTempDirectory("graft-stream2-").toString
     Corpus.generate(spark, 200, seed = 10, numParts = 2).toDF()
