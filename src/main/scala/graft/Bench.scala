@@ -132,7 +132,11 @@ object Bench {
   }
 
   case class Sample(level: Int, round: Int, sec: Double, load0: Double,
-                    load1: Double, steal: Double, probe32: Double)
+                    load1: Double, steal: Double, probe32: Double,
+                    valid: Boolean = true, attempt: Int = 0, reason: String = "")
+
+  private def sampleJsonOf(nFiles: Long)(s: Sample): String =
+    f"""{"level":${s.level},"round":${s.round},"attempt":${s.attempt},"sec":${s.sec}%.2f,"files_per_sec":${nFiles / s.sec}%.0f,"load_before":${s.load0}%.2f,"load_after":${s.load1}%.2f,"steal_frac":${s.steal}%.3f,"probe32_mops":${s.probe32}%.0f,"valid":${s.valid}${if (s.reason.isEmpty) "" else s""","reason":"${s.reason}""""}}"""
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -155,12 +159,70 @@ object Bench {
     // — the shared VM carries multi-minute load tails from whatever ran
     // before the bench. This is start deferral only; every measurement is
     // still taken and reported with its own telemetry.
-    val maxWait = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_WAIT_SEC", "300").toInt
+    val maxWait = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_WAIT_SEC", "600").toInt
     val waitT0 = System.nanoTime()
     while (loadavg1 > 3.0 && (System.nanoTime() - waitT0) / 1e9 < maxWait)
       Thread.sleep(5000)
     val waitedSec = (System.nanoTime() - waitT0) / 1e9
     val loadAtStart = loadavg1
+
+    // ---- per-sample storm gating --------------------------------------
+    // The host telemetry of past rounds shows multi-minute storms (steal to
+    // 18%, in-VM loadavg to 25) wrecking individual timed windows. Every
+    // timed sample is therefore VALIDATED by its own window's telemetry:
+    //   - steal > STEAL_MAX: the hypervisor did not schedule our vCPUs —
+    //     the wall time measures the neighbor, not the engine;
+    //   - loadavg-before > LOAD_MAX: other runnable work inside this VM
+    //     was already competing when the run started.
+    // An invalid sample is DISCARDED and re-run within a bounded shared
+    // retry budget; every discard is recorded in the artifact (JSON +
+    // markdown), so a gate miss under budget exhaustion carries its own
+    // storm evidence instead of masquerading as an engine regression.
+    // Before each timed run the sampler also waits (bounded) for the 1-min
+    // loadavg to decay below LOAD_MAX — our own just-finished warmup run
+    // inflates it for tens of seconds even on a calm host.
+    val stealMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_STEAL_MAX", "0.05").toDouble
+    val loadMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_MAX", "6.0").toDouble
+    val sampleWaitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLE_WAIT_SEC", "90").toInt
+    var retriesLeft = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "8").toInt
+    var scaleRetriesLeft = sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE_RETRIES", "4").toInt
+    val discarded = scala.collection.mutable.ArrayBuffer[(String, Sample)]()
+
+    def waitForCalm(): Unit = {
+      val t0 = System.nanoTime()
+      while (loadavg1 > loadMax && (System.nanoTime() - t0) / 1e9 < sampleWaitSec)
+        Thread.sleep(3000)
+    }
+
+    /** One validated sample at `lv`: fresh session, warmup, calm-wait, timed
+      * run; invalid windows are discarded and retried while `takeRetry`
+      * grants budget. When the budget runs out the last (invalid) sample is
+      * kept, marked valid=false with its discard reason — never silently
+      * promoted to evidence.
+      */
+    def validatedSample(lv: Int, r: Int, section: String, inPath: String,
+        warmPath: String, takeRetry: () => Boolean): Sample = {
+      var attempt = 0
+      var out: Option[Sample] = None
+      while (out.isEmpty) {
+        val sp = GraftSession.local(lv, s"graft-bench-$section-$lv-r$r-a$attempt")
+        try {
+          runPipeline(sp, warmPath, s"$work/warm-$section-$lv-$r-$attempt")
+          waitForCalm()
+          val probe = cpuProbe(32, 100_000_000L) // instantaneous capacity check
+          val (sec, l0, l1, steal) = runPipeline(sp, inPath, s"$work/$section-out-$lv-$r-$attempt")
+          val reason =
+            if (steal > stealMax) f"steal ${steal * 100}%.1f%% > ${stealMax * 100}%.1f%%"
+            else if (l0 > loadMax) f"loadavg_before ${l0}%.1f > ${loadMax}%.1f"
+            else ""
+          val s = Sample(lv, r, sec, l0, l1, steal, probe,
+            valid = reason.isEmpty, attempt = attempt, reason = reason)
+          if (reason.isEmpty || !takeRetry()) out = Some(s)
+          else { discarded += ((section, s)); attempt += 1 }
+        } finally sp.stop()
+      }
+      out.get
+    }
 
     // host ceiling probe at the start: what does raw CPU scaling look like
     // on this box right now, independent of Spark?
@@ -190,12 +252,8 @@ object Bench {
     val samples = scala.collection.mutable.ArrayBuffer[Sample]()
     (1 to rounds).foreach { r =>
       levels.foreach { lv =>
-        spark = GraftSession.local(lv, s"graft-bench-$lv-r$r")
-        runPipeline(spark, s"$work/corpus_small", s"$work/warm-$lv-$r")
-        val probe = cpuProbe(32, 100_000_000L) // quick instantaneous capacity check
-        val (sec, l0, l1, steal) = runPipeline(spark, s"$work/corpus", s"$work/out-$lv-$r")
-        samples += Sample(lv, r, sec, l0, l1, steal, probe)
-        spark.stop()
+        samples += validatedSample(lv, r, "gate", s"$work/corpus",
+          s"$work/corpus_small", () => { val ok = retriesLeft > 0; if (ok) retriesLeft -= 1; ok })
       }
     }
     val probeEnd = Map(2 -> cpuProbe(2), 8 -> cpuProbe(8), 32 -> cpuProbe(32))
@@ -217,12 +275,9 @@ object Bench {
       spark.stop()
       (1 to 2).foreach { r =>
         scaleLevels.foreach { lv =>
-          spark = GraftSession.local(lv, s"graft-bench-scale-$lv-r$r")
-          runPipeline(spark, s"$work/corpus_small", s"$work/scalewarm-$lv-$r")
-          val probe = cpuProbe(32, 100_000_000L)
-          val (sec, l0, l1, steal) = runPipeline(spark, s"$work/corpus_1m", s"$work/scaleout-$lv-$r")
-          scaleSamples += Sample(lv, r, sec, l0, l1, steal, probe)
-          spark.stop()
+          scaleSamples += validatedSample(lv, r, "scale", s"$work/corpus_1m",
+            s"$work/corpus_small",
+            () => { val ok = scaleRetriesLeft > 0; if (ok) scaleRetriesLeft -= 1; ok })
         }
       }
     }
@@ -272,14 +327,19 @@ object Bench {
           // CacheManager matches the timed run's plan-equal relation to the
           // warmup's entry — clear the catalog cache so the timed run is
           // the FULL query (one shingling + its consumers on the in-run
-          // cache), not a read of the warmup's. Safe ordering: these three
-          // precede every LATER query that relies on a warmup-populated
-          // cache (the memoized pipeline pairs q30/q31 and q44/q46 sort
-          // between q23 and q49, and their memo holds DataFrame handles —
-          // re-persisted lazily — not catalog state).
+          // cache), not a read of the warmup's. clearCache() permanently
+          // drops EVERY CacheManager entry — including the persisted slim
+          // core inside the memoized q30/q31 and q44/q46 pipeline runs,
+          // whose later actions would then silently time cacheless
+          // recomputes — so the pipeline memo is dropped WITH it; the next
+          // memoized query re-runs its pipeline and re-persists (its
+          // intended cold shape; q30 and q44 clear the memo between warmup
+          // and timing anyway).
           if (name == "q21_minhash_lsh" || name == "q23_ngram_jaccard" ||
-              name == "q49_jaccard_capped")
+              name == "q49_jaccard_capped" || name == "q56_jaccard_capped_real") {
             spark.catalog.clearCache()
+            graft.pipeline.DocumentsAdapter.clearCache()
+          }
           val (_, s) = timed(fn(spark, sfDir).count())
           s
         } catch {
@@ -291,13 +351,16 @@ object Bench {
     spark.stop()
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val sampleJson = samples.map { s =>
-      f"""{"level":${s.level},"round":${s.round},"sec":${s.sec}%.2f,"load_before":${s.load0}%.2f,"load_after":${s.load1}%.2f,"steal_frac":${s.steal}%.3f,"probe32_mops":${s.probe32}%.0f}"""
+    val sampleJson = samples.map(sampleJsonOf(nFiles)).mkString("[", ",", "]")
+    val discardJson = discarded.map { case (section, s) =>
+      s"""{"section":"$section",${sampleJsonOf(if (section == "scale") scaleFiles else nFiles)(s).drop(1)}"""
     }.mkString("[", ",", "]")
     def probeJson(m: Map[Int, Double]) =
       f"""{"t2_mops":${m(2)}%.0f,"t8_mops":${m(8)}%.0f,"t32_mops":${m(32)}%.0f}"""
+    val gateJson =
+      f""""storm_gate":{"steal_max":$stealMax%.3f,"load_max":$loadMax%.1f,"retries_left":$retriesLeft,"scale_retries_left":$scaleRetriesLeft,"discarded":$discardJson,"all_gate_samples_valid":${samples.forall(_.valid)},"all_scale_samples_valid":${scaleSamples.forall(_.valid)}}"""
     val json =
-      f"""{"metric":"qf_files_per_sec_local32","value":$tp32%.1f,"unit":"files/sec","queries":$qs,"sf":"$sfDir","qf":{"files":$nFiles,"rounds":$rounds,"local2_sec":$sec2%.2f,"local8_sec":$sec8%.2f,"local32_sec":$sec32%.2f,"local2_files_per_sec":$tp2%.1f,"local8_files_per_sec":$tp8%.1f,"local32_files_per_sec":$tp32%.1f,"median_local2_files_per_sec":$tpMed2%.1f,"median_local8_files_per_sec":$tpMed8%.1f,"median_local32_files_per_sec":$tpMed32%.1f,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"median_scaling_efficiency_2_to_8":$effMed28%.3f,"median_scaling_efficiency_8_to_32":$effMed832%.3f,"host_ceiling_2_to_8":$ceil28%.3f,"host_ceiling_8_to_32":$ceil832%.3f,"cpu_probe_start":${probeJson(probeStart)},"cpu_probe_end":${probeJson(probeEnd)},"preflight_wait_sec":$waitedSec%.0f,"load_at_start":$loadAtStart%.2f,"samples":$sampleJson,"scale":{"files":$scaleFiles,"local8_files_per_sec":$scTp8%.1f,"local32_files_per_sec":$scTp32%.1f,"scaling_efficiency_8_to_32":$scEff832%.3f,"samples":${scaleSamples.map(s => f"""{"level":${s.level},"round":${s.round},"sec":${s.sec}%.2f,"load_before":${s.load0}%.2f,"load_after":${s.load1}%.2f,"steal_frac":${s.steal}%.3f,"probe32_mops":${s.probe32}%.0f}""").mkString("[", ",", "]")}}},"queries_total_sec":${queryTimes.map(_._2).sum}%.2f}"""
+      f"""{"metric":"qf_files_per_sec_local32","value":$tp32%.1f,"unit":"files/sec","queries":$qs,"sf":"$sfDir","qf":{"files":$nFiles,"rounds":$rounds,"local2_sec":$sec2%.2f,"local8_sec":$sec8%.2f,"local32_sec":$sec32%.2f,"local2_files_per_sec":$tp2%.1f,"local8_files_per_sec":$tp8%.1f,"local32_files_per_sec":$tp32%.1f,"median_local2_files_per_sec":$tpMed2%.1f,"median_local8_files_per_sec":$tpMed8%.1f,"median_local32_files_per_sec":$tpMed32%.1f,"scaling_efficiency_2_to_8":$eff28%.3f,"scaling_efficiency_8_to_32":$eff832%.3f,"median_scaling_efficiency_2_to_8":$effMed28%.3f,"median_scaling_efficiency_8_to_32":$effMed832%.3f,"host_ceiling_2_to_8":$ceil28%.3f,"host_ceiling_8_to_32":$ceil832%.3f,"cpu_probe_start":${probeJson(probeStart)},"cpu_probe_end":${probeJson(probeEnd)},"preflight_wait_sec":$waitedSec%.0f,"load_at_start":$loadAtStart%.2f,$gateJson,"samples":$sampleJson,"scale":{"files":$scaleFiles,"local8_files_per_sec":$scTp8%.1f,"local32_files_per_sec":$scTp32%.1f,"scaling_efficiency_8_to_32":$scEff832%.3f,"samples":${scaleSamples.map(sampleJsonOf(scaleFiles)).mkString("[", ",", "]")}}},"queries_total_sec":${queryTimes.map(_._2).sum}%.2f}"""
     println(json)
 
     // Best-effort markdown artifact. Written to a bench-owned path (NOT the
@@ -310,9 +373,22 @@ object Bench {
       // rows are embedded in a stripMargin template: each row supplies its
       // own margin marker, so the separator adds exactly ONE '|' per line
       // (a double '||' would survive stripMargin as a spurious empty cell)
-      val sampleRows = samples.map { s =>
-        f"| local[${s.level}] | ${s.round} | ${s.sec}%.2f | ${nFiles / s.sec}%.0f | ${s.load0}%.2f → ${s.load1}%.2f | ${s.steal * 100}%.1f%% | ${s.probe32}%.0f |"
-      }.mkString("\n           |")
+      def row(files: Long)(s: Sample) =
+        f"| local[${s.level}] | ${s.round}.${s.attempt} | ${s.sec}%.2f | ${files / s.sec}%.0f | ${s.load0}%.2f → ${s.load1}%.2f | ${s.steal * 100}%.1f%% | ${s.probe32}%.0f | ${if (s.valid) "ok" else s"INVALID (${s.reason})"} |"
+      val sampleRows = samples.map(row(nFiles)).mkString("\n           |")
+      val discardSection =
+        if (discarded.isEmpty)
+          "No timed sample was discarded: every kept window passed the storm gate."
+        else
+          ("Discarded (storm-gated, re-run) samples:\n\n" +
+            "| level | round.attempt | sec | files/sec | loadavg | steal | probe32 Mops | validity |\n" +
+            "| --- | --- | --- | --- | --- | --- | --- | --- |\n" +
+            discarded.map { case (sec0, s) =>
+              row(if (sec0 == "scale") scaleFiles else nFiles)(s).replace("| local[", s"| $sec0 local[")
+            }.mkString("\n"))
+      // the section is injected into a stripMargin template: re-prefix each
+      // embedded line with the margin marker so table pipes survive
+      val discardSectionMd = discardSection.replace("\n", "\n           |")
       val md =
         f"""# BENCH — measured numbers
            |
@@ -347,11 +423,21 @@ object Bench {
            |local[8] $scTp8%.0f / local[32] $scTp32%.0f files/sec;
            |efficiency 8→32 = **$scEff832%.3f**.
            |
-           |Per-sample telemetry (every timed run):
+           |Per-sample storm gate: a timed window with steal > ${stealMax * 100}%.1f%%
+           |or loadavg-before > $loadMax%.1f is discarded and re-run within a
+           |bounded retry budget (gate ${sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "8")},
+           |scale ${sys.env.getOrElse("SPARK_GRAFT_BENCH_SCALE_RETRIES", "4")}; left:
+           |$retriesLeft/$scaleRetriesLeft). Kept samples below; a row marked
+           |INVALID means the budget ran out while the host stayed stormy —
+           |its time is storm evidence, not engine evidence.
            |
-           || level | round | sec | files/sec | loadavg | steal | probe32 Mops |
-           || --- | --- | --- | --- | --- | --- | --- |
+           |Per-sample telemetry (every kept timed run):
+           |
+           || level | round.attempt | sec | files/sec | loadavg | steal | probe32 Mops | validity |
+           || --- | --- | --- | --- | --- | --- | --- | --- |
            |$sampleRows
+           |
+           |$discardSectionMd
            |
            |Headline query seconds at `$sfDir` (fresh default-conf local[32]
            |session, one warmup + one timed run per query). q30/q31 are two
@@ -361,7 +447,7 @@ object Bench {
            |train+score+label pipeline and q44 the full heuristic run
            |(JIT-warm), while q31/q46 deliberately measure the incremental
            |metrics projection over their shared run. The shingle-join
-           |queries (q21/q23/q49) get spark.catalog.clearCache() between
+           |queries (q21/q23/q49/q56) get spark.catalog.clearCache() between
            |warmup and timing, so each timed run pays its own single
            |shingling (the warmup's persisted relation is plan-equal and
            |would otherwise serve the timed run from cache):
