@@ -62,20 +62,50 @@ object Dedup {
     df.groupBy(sha2(col(contentCol).cast("binary"), 256).as("content_sha"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dups"))
 
-  /** Distinct word n-gram shingles per row: (id, blockCols..., shingle).
+  /** Distinct word n-gram shingles per row, HASHED to 64 bits:
+    * (id, blockCols..., shingle: long = xxhash64 of the shingle string).
     * Sequence is guarded so short texts yield no shingles (Spark's default
     * descending step on reversed bounds would otherwise fire).
     *
-    * Dedup is PER-ROW (`array_distinct` before the explode), not a global
-    * `.distinct()`: a document's shingles all live in its one input row, so
-    * the row-local dedup yields the same relation while eliminating an
-    * entire shuffle of the exploded shingle set — the difference between
-    * one map-side pass and re-partitioning every (id, shingle) pair at
-    * 100 TB. Contract: `idCol` identifies one text row (every caller here
-    * feeds a keyed table); duplicate ids would need the global distinct
-    * this deliberately does not pay for.
+    * Hashing at materialization, not at the joins: every downstream consumer
+    * — document-frequency counts, prefix ranking, the candidate equi-joins,
+    * and the verification intersection count — keys on shingle EQUALITY
+    * only, so an 8-byte key carries the same information as the string
+    * while every shuffle ships fixed-width longs instead of n-word strings
+    * (~5× fewer key bytes at n = 3; the same digest-not-content discipline
+    * as [[exactDedupBySha]]). MinHash gets the hash it would have computed
+    * anyway (signatures are bit-identical to hashing the string). Collision
+    * tolerance: two distinct shingles colliding in 64 bits merge one join
+    * key; for a document pair this perturbs the intersection count with
+    * probability ~|sh_a|·|sh_b|/2⁶⁴ — orders of magnitude below the
+    * decision noise of any threshold at any corpus size, and the DuckDB
+    * oracles (which shingle as strings) gate the equality at test scale.
+    * [[shingleStrings]] keeps the string relation as the spec twin.
+    *
+    * Dedup is PER-ROW (`array_distinct` before the explode, on longs), not
+    * a global `.distinct()`: a document's shingles all live in its one
+    * input row, so the row-local dedup yields the same relation while
+    * eliminating an entire shuffle of the exploded shingle set — the
+    * difference between one map-side pass and re-partitioning every
+    * (id, shingle) pair at 100 TB. Contract: `idCol` identifies one text
+    * row (every caller here feeds a keyed table); duplicate ids would need
+    * the global distinct this deliberately does not pay for.
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      blockCols: Seq[String] = Seq.empty): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val idxs = when(size(ws) >= n, sequence(lit(1), size(ws) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    val sh = array_distinct(transform(idxs, i =>
+      xxhash64(concat_ws(" ", (0 until n).map(o => element_at(ws, i + o)): _*))))
+    df.select((idCol +: blockCols).map(col) :+ explode(sh).as("shingle"): _*)
+  }
+
+  /** The string form of [[shingles]] — the differential-test twin (and the
+    * shape the DuckDB oracles compute). Do not use in the hot path: the
+    * hashed relation joins on 8-byte keys.
+    */
+  def shingleStrings(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
       blockCols: Seq[String] = Seq.empty): DataFrame = {
     val ws = split(col(textCol), " ")
     val idxs = when(size(ws) >= n, sequence(lit(1), size(ws) - (n - 1)))
@@ -292,7 +322,9 @@ object Dedup {
       k: Int = MinHashK): DataFrame = {
     val (coefA, coefB) = minhashCoefficients(k)
     val agg = functions.udaf(new MinHashAggregator(coefA.toArray, coefB.toArray, MinHashPrime))
-    sh.select(col(idCol), pmod(xxhash64(col("shingle")), lit(MinHashPrime)).as("h"))
+    // the shingle column IS xxhash64 of the shingle string ([[shingles]]),
+    // so signatures are bit-identical to hashing the string here
+    sh.select(col(idCol), pmod(col("shingle"), lit(MinHashPrime)).as("h"))
       .groupBy(col(idCol))
       .agg(agg(col("h")).as("sig"))
   }
@@ -304,7 +336,9 @@ object Dedup {
   def minhashSignaturesViaList(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = MinHashK): DataFrame = {
     val (coefA, coefB) = minhashCoefficients(k)
-    val sh = shingles(df, idCol, textCol, n)
+    // deliberately hashes the STRING shingles: the differential spec proves
+    // the hashed-relation hot path produces bit-identical signatures
+    val sh = shingleStrings(df, idCol, textCol, n)
       .groupBy(col(idCol))
       .agg(collect_list(pmod(xxhash64(col("shingle")), lit(MinHashPrime))).as("hs"))
     sh.select(col(idCol),

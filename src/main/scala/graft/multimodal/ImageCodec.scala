@@ -1,0 +1,179 @@
+package graft.multimodal
+
+/** From-scratch codecs for two fully-specified uncompressed image formats —
+  * 24-bit BI_RGB Windows BMP and binary PPM (P6) — so the multimodal
+  * pipeline's decode step operates on REAL pixels instead of stub bytes, with
+  * no external media library (none exists in this container). Both formats
+  * are public, byte-exact specifications: BMP = BITMAPFILEHEADER (14 bytes) +
+  * BITMAPINFOHEADER (40 bytes) + bottom-up BGR rows padded to 4 bytes; PPM =
+  * ASCII "P6 <w> <h> <maxval>" header + raw top-down RGB bytes.
+  *
+  * Pixel convention on the API: row-major TOP-DOWN RGB, 3 bytes per pixel —
+  * the decoder normalizes BMP's bottom-up storage (and tolerates the
+  * negative-height top-down variant).
+  */
+object ImageCodec {
+
+  final case class Image(width: Int, height: Int, rgb: Array[Byte]) {
+    require(rgb.length == width * height * 3,
+      s"pixel buffer ${rgb.length} != $width*$height*3")
+  }
+
+  // ---- BMP (24-bit, BI_RGB) ----------------------------------------------
+
+  private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def i32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def put16(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+  }
+  private def put32(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+    b(o + 2) = ((v >> 16) & 0xff).toByte; b(o + 3) = ((v >> 24) & 0xff).toByte
+  }
+
+  /** Each BMP row is padded to a 4-byte boundary. */
+  def bmpRowStride(width: Int): Int = (width * 3 + 3) & ~3
+
+  def encodeBmp(img: Image): Array[Byte] = {
+    val stride = bmpRowStride(img.width)
+    val dataSize = stride * img.height
+    val out = new Array[Byte](54 + dataSize)
+    out(0) = 'B'; out(1) = 'M'
+    put32(out, 2, out.length) // file size
+    put32(out, 10, 54)        // pixel data offset
+    put32(out, 14, 40)        // BITMAPINFOHEADER size
+    put32(out, 18, img.width)
+    put32(out, 22, img.height) // positive = bottom-up storage
+    put16(out, 26, 1)          // planes
+    put16(out, 28, 24)         // bits per pixel
+    put32(out, 30, 0)          // BI_RGB (uncompressed)
+    put32(out, 34, dataSize)
+    put32(out, 38, 2835); put32(out, 42, 2835) // 72 DPI in px/metre
+    var y = 0
+    while (y < img.height) {
+      val srcRow = img.height - 1 - y // bottom-up: last image row first
+      var x = 0
+      while (x < img.width) {
+        val s = (srcRow * img.width + x) * 3
+        val d = 54 + y * stride + x * 3
+        out(d) = img.rgb(s + 2)     // B
+        out(d + 1) = img.rgb(s + 1) // G
+        out(d + 2) = img.rgb(s)     // R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  def isBmp(bytes: Array[Byte]): Boolean =
+    bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M'
+
+  def decodeBmp(bytes: Array[Byte]): Image = {
+    require(isBmp(bytes), "not a BMP payload")
+    val offset = i32(bytes, 10)
+    val hdrSize = i32(bytes, 14)
+    require(hdrSize >= 40, s"unsupported BMP header size $hdrSize")
+    val width = i32(bytes, 18)
+    val rawHeight = i32(bytes, 22)
+    val topDown = rawHeight < 0
+    val height = math.abs(rawHeight)
+    val bpp = u16(bytes, 28)
+    val compression = i32(bytes, 30)
+    require(bpp == 24 && compression == 0,
+      s"unsupported BMP variant: bpp=$bpp compression=$compression (only 24-bit BI_RGB)")
+    require(width > 0 && height > 0, s"bad BMP dimensions ${width}x$rawHeight")
+    val stride = bmpRowStride(width)
+    require(bytes.length >= offset + stride * height, "truncated BMP pixel data")
+    val rgb = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      val srcRow = if (topDown) y else height - 1 - y
+      var x = 0
+      while (x < width) {
+        val s = offset + srcRow * stride + x * 3
+        val d = (y * width + x) * 3
+        rgb(d) = bytes(s + 2)     // R from BGR
+        rgb(d + 1) = bytes(s + 1) // G
+        rgb(d + 2) = bytes(s)     // B
+        x += 1
+      }
+      y += 1
+    }
+    Image(width, height, rgb)
+  }
+
+  // ---- PPM (P6, binary) ----------------------------------------------------
+
+  def encodePpm(img: Image): Array[Byte] = {
+    val header = s"P6\n${img.width} ${img.height}\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + img.rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(img.rgb, 0, out, header.length, img.rgb.length)
+    out
+  }
+
+  def isPpm(bytes: Array[Byte]): Boolean =
+    bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6'
+
+  def decodePpm(bytes: Array[Byte]): Image = {
+    require(isPpm(bytes), "not a P6 PPM payload")
+    var pos = 2
+    // header tokens separated by whitespace; '#' starts a comment to EOL
+    def nextInt(): Int = {
+      while (pos < bytes.length &&
+        (bytes(pos).toChar.isWhitespace || bytes(pos) == '#')) {
+        if (bytes(pos) == '#') while (pos < bytes.length && bytes(pos) != '\n') pos += 1
+        else pos += 1
+      }
+      var v = 0
+      require(pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9', "bad PPM header")
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val width = nextInt(); val height = nextInt(); val maxval = nextInt()
+    require(maxval == 255, s"unsupported PPM maxval $maxval (only 8-bit)")
+    pos += 1 // exactly ONE whitespace byte separates the header from raster data
+    val n = width * height * 3
+    require(bytes.length >= pos + n, "truncated PPM raster")
+    val rgb = new Array[Byte](n)
+    System.arraycopy(bytes, pos, rgb, 0, n)
+    Image(width, height, rgb)
+  }
+
+  // ---- pixel-space features -------------------------------------------------
+
+  /** 16-dim feature vector from DECODED pixels: [meanR, meanG, meanB,
+    * meanLuma] (each /255) + 12-bucket luma histogram normalized by pixel
+    * count. Luma = integer BT.601 approximation (77R + 150G + 29B) >> 8 —
+    * all-integer accumulation, so the vector is bit-deterministic across
+    * partitionings and platforms.
+    */
+  def pixelFeatures(img: Image): Array[Float] = {
+    val f = new Array[Float](Multimodal.FeatureDim)
+    val n = img.width * img.height
+    var sr = 0L; var sg = 0L; var sb = 0L; var sl = 0L
+    val hist = new Array[Int](12)
+    var i = 0
+    while (i < n) {
+      val r = img.rgb(i * 3) & 0xff
+      val g = img.rgb(i * 3 + 1) & 0xff
+      val b = img.rgb(i * 3 + 2) & 0xff
+      val luma = (77 * r + 150 * g + 29 * b) >> 8
+      sr += r; sg += g; sb += b; sl += luma
+      hist(math.min(11, luma * 12 / 256)) += 1
+      i += 1
+    }
+    f(0) = sr.toFloat / n / 255f
+    f(1) = sg.toFloat / n / 255f
+    f(2) = sb.toFloat / n / 255f
+    f(3) = sl.toFloat / n / 255f
+    var b2 = 0
+    while (b2 < 12) { f(4 + b2) = hist(b2).toFloat / n; b2 += 1 }
+    f
+  }
+}

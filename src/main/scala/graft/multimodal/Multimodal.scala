@@ -21,16 +21,17 @@ case class MediaFeatures(
     n_bytes: Int,
     feature: Array[Float])
 
-/** Multimodal plumbing with STUBBED decoders.
+/** Multimodal plumbing: REAL image decode, stubbed audio/video decode.
   *
-  * The real decode step (JPEG/PNG/PCM/video codecs) is NOT implementable in
-  * this container — no image/audio libraries exist offline — so `decode*`
-  * below are deterministic fakes (byte histograms / metadata-driven
-  * sampling), clearly marked. Everything around them is real Spark
-  * plumbing: typed Dataset schema, mapPartitions with EXPLICIT BATCHING
-  * (the batch shape a GPU/JNI decoder needs), deterministic generation, and
-  * partition-friendly layout. Swapping the stub for a real codec changes
-  * one function body, not the pipeline.
+  * Image payloads are genuine encoded files — 24-bit BMP and binary PPM,
+  * written and parsed by the from-scratch [[ImageCodec]] (both formats are
+  * public byte-exact specs, so no media library is needed) — and
+  * [[decodeToFeature]] computes features from the DECODED PIXELS. Audio and
+  * video decode (PCM containers, video codecs) remain deterministic fakes —
+  * not implementable offline — clearly marked below. Everything around the
+  * decoders is real Spark plumbing: typed Dataset schema, mapPartitions with
+  * EXPLICIT BATCHING (the batch shape a GPU/JNI decoder needs),
+  * deterministic generation, and partition-friendly layout.
   */
 object Multimodal {
 
@@ -43,8 +44,32 @@ object Multimodal {
     z ^ (z >>> 31)
   }
 
-  /** Deterministic synthetic media table (no external data; partition-
-    * independent like [[graft.core.Corpus]]).
+  /** Deterministic synthetic pixel pattern (gradient + hash noise) — a pure
+    * function of (seed, media_id, w, h), so the table is partition-
+    * independent like [[graft.core.Corpus]].
+    */
+  private[graft] def syntheticImage(seedMix: Long, w: Int, h: Int): ImageCodec.Image = {
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val d = (y * w + x) * 3
+        val noise = mix(seedMix, (y.toLong << 20) | x)
+        rgb(d) = ((x * 255 / math.max(1, w - 1)) ^ (noise & 0x1f)).toByte
+        rgb(d + 1) = ((y * 255 / math.max(1, h - 1)) ^ ((noise >>> 8) & 0x1f)).toByte
+        rgb(d + 2) = (((x + y) * 127 / math.max(1, w + h - 2)) ^ ((noise >>> 16) & 0x1f)).toByte
+        x += 1
+      }
+      y += 1
+    }
+    ImageCodec.Image(w, h, rgb)
+  }
+
+  /** Deterministic synthetic media table (no external data). Image payloads
+    * are REAL encoded files — even media_ids as BMP, odd as PPM, so both
+    * decoders are exercised by every downstream query; audio/video payloads
+    * stay opaque synthetic bytes (their decoders are the documented stubs).
     */
   def generate(spark: SparkSession, n: Long, seed: Long = 42L, numParts: Int = 32): Dataset[MediaFile] = {
     import spark.implicits._
@@ -52,22 +77,40 @@ object Multimodal {
       val rng = new java.util.SplittableRandom(mix(seed, i))
       val kind = Vector("image", "audio", "video")(rng.nextInt(3))
       val (w, h, dur) = kind match {
-        case "image" => (16 + rng.nextInt(240), 16 + rng.nextInt(240), 0)
+        case "image" => (8 + rng.nextInt(33), 8 + rng.nextInt(33), 0)
         case "audio" => (0, 0, 500 + rng.nextInt(60000))
         case _       => (16 + rng.nextInt(120), 16 + rng.nextInt(120), 1000 + rng.nextInt(120000))
       }
-      val size = 256 + rng.nextInt(4096)
-      val bytes = new Array[Byte](size)
-      var k = 0
-      while (k < size) { bytes(k) = (rng.nextInt(256) - 128).toByte; k += 1 }
+      val bytes =
+        if (kind == "image") {
+          val img = syntheticImage(mix(seed, i), w, h)
+          if (i % 2 == 0) ImageCodec.encodeBmp(img) else ImageCodec.encodePpm(img)
+        } else {
+          val size = 256 + rng.nextInt(4096)
+          val b = new Array[Byte](size)
+          var k = 0
+          while (k < size) { b(k) = (rng.nextInt(256) - 128).toByte; k += 1 }
+          b
+        }
       MediaFile(i, kind, w, h, dur, bytes)
     })
   }
 
-  /** STUB decode: a real implementation would decode pixels/samples here.
-    * Deterministic fake = 16-bucket byte histogram normalized by length.
+  /** Decode dispatch on the payload's magic bytes: BMP and PPM payloads are
+    * DECODED (from-scratch [[ImageCodec]]) and featurized from their pixels;
+    * anything else (the audio/video stubs) falls back to the 16-bucket byte
+    * histogram — the documented fake for codecs that need libraries this
+    * container doesn't have.
     */
-  def decodeToFeature(payload: Array[Byte]): Array[Float] = {
+  def decodeToFeature(payload: Array[Byte]): Array[Float] =
+    if (ImageCodec.isBmp(payload)) ImageCodec.pixelFeatures(ImageCodec.decodeBmp(payload))
+    else if (ImageCodec.isPpm(payload)) ImageCodec.pixelFeatures(ImageCodec.decodePpm(payload))
+    else byteHistogramFeature(payload)
+
+  /** STUB decode for audio/video: deterministic 16-bucket byte histogram
+    * normalized by length (a real implementation would decode samples).
+    */
+  def byteHistogramFeature(payload: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](FeatureDim)
     var i = 0
     while (i < payload.length) {

@@ -341,6 +341,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     info(s"max segment bucket after collapse: $maxBucket (clone cluster size ${m + 1})")
   }
 
+  test("hashed shingle joins return exactly the string-shingle join's pairs") {
+    val docs = Tables.documents(spark, dir)
+    for (t <- Seq(0.5, 0.8)) {
+      // string-side naive join — the DuckDB-oracle shape, built from the
+      // string twin relation
+      val sh = Dedup.shingleStrings(docs, "doc_id", "text", 3)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val a = sh.select(col("doc_id").as("a_id"), col("shingle"))
+      val b = sh.select(col("doc_id").as("b_id"), col("shingle"))
+      val strPairs = a.join(b, "shingle").filter(col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("na")), "a_id")
+        .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("nb")), "b_id")
+        .withColumn("j", round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6))
+        .filter(col("j") >= t)
+        .select("a_id", "b_id", "j")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val hashed = Dedup.jaccardPairs(docs, "doc_id", "text", Seq.empty, 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(hashed == strPairs, s"t=$t: hashed relation diverges from string relation")
+    }
+    // per-doc shingle-set sizes agree too (no within-doc hash collisions)
+    val nStr = Dedup.shingleStrings(docs, "doc_id", "text", 3)
+      .groupBy(col("doc_id")).agg(count(lit(1))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nHash = Dedup.shingles(docs, "doc_id", "text", 3)
+      .groupBy(col("doc_id")).agg(count(lit(1))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nStr == nHash)
+  }
+
   test("duplicate-id inputs fail loudly when validateUniqueIds is on") {
     import spark.implicits._
     val dup = Seq((1L, "alpha beta gamma delta"), (1L, "alpha beta gamma delta"),

@@ -121,15 +121,62 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     assert(rows == Set((1L, "alpha"), (3L, "beta"), (5L, "gamma")))
   }
 
-  test("multimodal: batched stub decode is deterministic and batch-size independent") {
+  test("multimodal: batched decode is deterministic and batch-size independent") {
     val m = Multimodal.generate(spark, 500, 7L, 4)
+    val kinds = m.collect().map(x => x.media_id -> x.kind).toMap
     val f1 = Multimodal.extractFeatures(m, batchSize = 8).collect()
       .map(x => x.media_id -> x.feature.toSeq).toMap
     val f2 = Multimodal.extractFeatures(Multimodal.generate(spark, 500, 7L, 9), batchSize = 64)
       .collect().map(x => x.media_id -> x.feature.toSeq).toMap
     assert(f1.size == 500 && f1 == f2, "features depend on batching/partitioning")
-    // histogram features are normalized
-    f1.values.take(20).foreach(f => assert(math.abs(f.sum - 1.0) < 1e-3))
+    f1.foreach { case (id, f) =>
+      if (kinds(id) == "image")
+        // pixel features: dims 4..15 are a normalized luma histogram
+        assert(math.abs(f.drop(4).sum - 1.0) < 1e-3, s"image $id luma histogram not normalized")
+      else
+        // audio/video stub: a normalized byte histogram
+        assert(math.abs(f.sum - 1.0) < 1e-3, s"stub $id histogram not normalized")
+    }
+  }
+
+  test("image codec: BMP and PPM round-trip pixel-exact, goldens decode byte-for-byte") {
+    import graft.multimodal.ImageCodec
+    // hand-built golden BMP: 2x2, 24-bit, bottom-up, stride padded 6 -> 8.
+    // Pixels top-down RGB: (255,0,0) (0,255,0) / (0,0,255) (255,255,255)
+    val goldenBmp: Array[Byte] = (Seq(
+      'B'.toInt, 'M'.toInt, 70, 0, 0, 0, 0, 0, 0, 0, 54, 0, 0, 0, // file header
+      40, 0, 0, 0, 2, 0, 0, 0, 2, 0, 0, 0, 1, 0, 24, 0,           // info header
+      0, 0, 0, 0, 16, 0, 0, 0, 19, 11, 0, 0, 19, 11, 0, 0,
+      0, 0, 0, 0, 0, 0, 0, 0) ++ Seq(                              // pixel rows (BGR, bottom-up)
+      255, 0, 0, 255, 255, 255, 0, 0,   // bottom row: blue px, white px, pad
+      0, 0, 255, 0, 255, 0, 0, 0)       // top row: red px, green px, pad
+    ).map(_.toByte).toArray
+    val dec = ImageCodec.decodeBmp(goldenBmp)
+    assert(dec.width == 2 && dec.height == 2)
+    assert(dec.rgb.map(_ & 0xff).toSeq == Seq(
+      255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255))
+    // golden PPM with a comment line
+    val goldenPpm = ("P6\n# test\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4, 5, 6))
+    val decP = ImageCodec.decodePpm(goldenPpm)
+    assert(decP.width == 2 && decP.height == 1 && decP.rgb.toSeq == Seq[Byte](1, 2, 3, 4, 5, 6))
+    // round-trips at awkward widths (stride padding exercised)
+    for (w <- Seq(1, 2, 3, 4, 5, 17); h <- Seq(1, 2, 7)) {
+      val img = Multimodal.syntheticImage(0xabcdef, w, h)
+      assert(ImageCodec.decodeBmp(ImageCodec.encodeBmp(img)).rgb.toSeq == img.rgb.toSeq,
+        s"BMP round-trip ${w}x$h")
+      assert(ImageCodec.decodePpm(ImageCodec.encodePpm(img)).rgb.toSeq == img.rgb.toSeq,
+        s"PPM round-trip ${w}x$h")
+    }
+    // pixel features golden: an all-white image has means 1.0 (luma = 255
+    // exactly under the integer BT.601 weights) and all mass in the top bucket
+    val white = ImageCodec.Image(4, 4, Array.fill[Byte](48)(0xff.toByte))
+    val f = ImageCodec.pixelFeatures(white)
+    assert(f(0) == 1f && f(1) == 1f && f(2) == 1f && f(3) == 1f)
+    assert(f(15) == 1f && f.slice(4, 15).forall(_ == 0f))
+    // decode errors are loud, not silent
+    intercept[IllegalArgumentException](ImageCodec.decodeBmp(Array[Byte](1, 2, 3)))
+    intercept[IllegalArgumentException](ImageCodec.decodePpm("P6\n2 2\n65535\n".getBytes))
   }
 
   test("multimodal: frame sampling follows metadata") {
