@@ -336,7 +336,8 @@ object Bench {
           // intended cold shape; q30 and q44 clear the memo between warmup
           // and timing anyway).
           if (name == "q21_minhash_lsh" || name == "q23_ngram_jaccard" ||
-              name == "q49_jaccard_capped" || name == "q56_jaccard_capped_real") {
+              name == "q49_jaccard_capped" || name == "q56_jaccard_capped_real" ||
+              name == "q57_dedup_clusters") {
             spark.catalog.clearCache()
             graft.pipeline.DocumentsAdapter.clearCache()
           }
@@ -447,7 +448,7 @@ object Bench {
            |train+score+label pipeline and q44 the full heuristic run
            |(JIT-warm), while q31/q46 deliberately measure the incremental
            |metrics projection over their shared run. The shingle-join
-           |queries (q21/q23/q49/q56) get spark.catalog.clearCache() between
+           |queries (q21/q23/q49/q56/q57) get spark.catalog.clearCache() between
            |warmup and timing, so each timed run pays its own single
            |shingling (the warmup's persisted relation is plan-equal and
            |would otherwise serve the timed run from cache):

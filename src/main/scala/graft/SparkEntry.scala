@@ -72,6 +72,9 @@ object SparkEntry {
     "q54_snapshot"        -> (SnapshotQueries.q54SnapshotRoundtrip _),
     "q55_simhash_pairs"   -> (PipelineQueries.q55SimhashPairs _),
     "q56_jaccard_capped_real" -> (PipelineQueries.q56JaccardCappedReal _),
+    "q57_dedup_clusters"  -> (PipelineQueries.q57DedupClusters _),
+    "q58_orc_roundtrip"   -> (PipelineQueries.q58OrcRoundtrip _),
+    "q59_partition_pruned" -> (PipelineQueries.q59PartitionPruned _),
     // flagship pipeline (not SQL-expressible: broadcast-model stages) —
     // driver records rows-only checks for these two.
     "q30_quality_filter"  -> (DocumentsAdapter.qualityFilterQuery _),
@@ -142,6 +145,15 @@ object SparkEntry {
     // the stop-shingle approximation at a cap that actually filters, vs a
     // DuckDB twin of the capped candidate semantics
     "q56_jaccard_capped_real" -> PipelineSql.q56JaccardCappedReal,
+    // near-dup clusters: prefix-join pairs + large-star/small-star
+    // components vs a recursive min-label-closure CTE — transitive
+    // cluster semantics value-checked end-to-end
+    "q57_dedup_clusters"  -> PipelineSql.q57DedupClusters,
+    // ORC round-trip: same lossless-fingerprint oracle as the JSONL gate —
+    // DuckDB reads the parquet original, Spark its own ORC staging
+    "q58_orc_roundtrip"   -> PipelineSql.q50JsonlRoundtrip,
+    // partition-pruned scan must return exactly the unpartitioned filter
+    "q59_partition_pruned" -> PipelineSql.q59PartitionPruned,
     // (q55_simhash_pairs stays rows-only: simhash signatures aren't
     // DuckDB-expressible; spec-gated like q22)
   )

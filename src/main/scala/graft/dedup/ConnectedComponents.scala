@@ -1,0 +1,153 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an undirected edge list — the
+  * capstone of the near-dup family: pairwise similarity joins
+  * ([[Dedup.jaccardPairs]], [[Ann-family pair generators]]) emit EDGES, but
+  * dedup policy acts on transitive CLUSTERS (near-dup is not transitive:
+  * a~b and b~c does not imply a~c, yet all three must land in one group so
+  * exactly one representative survives).
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14), chosen over
+  * label-propagation because it converges in O(log² n) rounds (O(log n) in
+  * practice) and — critically for 100 TB — both operations are expressed as
+  * groupBy-min + join over the edge relation: no neighbor LISTS are ever
+  * materialized, so a hot node with 10⁸ neighbors costs a partial-aggregated
+  * min, not an OOM. Per round: one groupBy(u).min shuffle and one equi-join
+  * on u that reuses the groupBy's hash partitioning (Exchange reuse), then a
+  * distinct on the canonical pair.
+  *
+  * Each round's edge set is materialized with `localCheckpoint(eager)` —
+  * this is MANDATORY, not an optimization: large-star/small-star reference
+  * the previous round's relation ~a dozen times, so without lineage
+  * truncation the logical plan grows exponentially in the round count and
+  * Catalyst re-optimizes (and OOMs stringifying) a 12^k-node tree by round
+  * k ≈ 5. Checkpointing bounds every round's plan at one LogicalRDD scan;
+  * superseded rounds' cached RDDs are unreferenced after reassignment and
+  * reclaimed by the ContextCleaner (unlike CacheManager `persist`, which
+  * pins entries until an explicit unpersist). Local checkpoints trade
+  * executor-loss resilience for speed — on a real cluster with flaky
+  * executors, substitute reliable `checkpoint` against the checkpoint dir.
+  * Convergence is detected by a (count, xxhash64-sum) checksum — two scalar
+  * aggregates over the checkpointed relation, no edge-set comparison join
+  * (collision odds ~2⁻⁶⁴ per round).
+  *
+  * Semantics: component id = MINIMUM node id of the component (the usual
+  * keep-lowest-id representative convention of [[Dedup.exactDedup]]).
+  */
+object ConnectedComponents {
+
+  /** Canonical undirected form: (a < b), self-loops dropped, one row per
+    * edge. Inputs may carry duplicates or both orientations.
+    */
+  private def canon(e: DataFrame): DataFrame =
+    e.select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+
+  /** Large-star: every node u connects each STRICTLY LARGER neighbor to
+    * m(u) = min(N(u) ∪ {u}). Since m(u) ≤ u < v the emitted pair (m, v) is
+    * already canonical. Connectivity is preserved (v—m goes through u) and
+    * large neighbors hop directly toward the component minimum.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val d = e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
+    val m = d.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    d.join(m, "u")
+      .where(col("v") > col("u"))
+      .select(col("m").as("a"), col("v").as("b"))
+      .distinct()
+  }
+
+  /** Small-star: every node u connects its smaller-or-equal neighborhood
+    * {v ∈ N(u): v < u} ∪ {u} into a star rooted at its minimum. Directing
+    * each canonical edge large→small gives exactly the v < u neighbor set.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val d = e.select(col("b").as("u"), col("a").as("v")) // v < u by canon
+    val m = d.groupBy("u").agg(min("v").as("m"))
+    val nbr = d.join(m, "u")
+      .where(col("v") =!= col("m"))
+      .select(col("m").as("a"), col("v").as("b"))
+    val self = m.select(col("m").as("a"), col("u").as("b"))
+    nbr.union(self).distinct()
+  }
+
+  /** (id, component) for every node incident to at least one edge; nodes
+    * absent from `edges` are simply absent (see [[componentsFor]] for the
+    * all-nodes form). Edge columns are cast to long.
+    *
+    * @param maxIter hard bound on alternations; the algorithm's bound is
+    *   O(log² n), so 50 covers any physically storable graph — hitting it
+    *   means a logic error, and the failure is loud, never a wrong answer.
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val canonical = canon(edges.select(
+      col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b")))
+
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r: Row = e.agg(
+        count(lit(1)).as("c"),
+        coalesce(sum(xxhash64(col("a"), col("b"))), lit(0L)).as("h")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var cur = canonical.localCheckpoint(true)
+    var curChk = checksum(cur)
+    if (curChk._1 == 0L) { // no edges: every node is its own singleton
+      return canonical.sparkSession.createDataFrame(
+        canonical.sparkSession.sparkContext.emptyRDD[Row],
+        new org.apache.spark.sql.types.StructType()
+          .add("id", "long").add("component", "long"))
+    }
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // localCheckpoint each round: see the class doc — lineage truncation
+      // here is what keeps the per-round plan (and optimizer time) constant
+      val next = canon(smallStar(largeStar(cur))).localCheckpoint(true)
+      val nextChk = checksum(next)
+      if (nextChk == curChk) converged = true
+      cur = next // superseded round's RDD is reclaimed by the ContextCleaner
+      curChk = nextChk
+      it += 1
+    }
+    if (!converged) {
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter alternations")
+    }
+    // fixed point = min-rooted stars: every edge is (component-min, member).
+    // Materialize the O(nodes) label relation (callers consume it more than
+    // once: size join, node join) — checkpointed, so the iteration's edge
+    // RDD can be reclaimed too.
+    cur
+      .select(col("b").as("id"), col("a").as("component"))
+      .union(cur.select(col("a").as("id"), col("a").as("component")))
+      .groupBy("id").agg(min("component").as("component"))
+      .localCheckpoint(true)
+  }
+
+  /** (id, component, csize) for EVERY node in `nodes`: edge-connected nodes
+    * get their component minimum, isolated nodes themselves (csize 1 unless
+    * other members exist). The size join shuffles on `component` — one row
+    * per node on one side, one per component on the other.
+    */
+  def componentsFor(nodes: DataFrame, idCol: String,
+      edges: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val comp = connectedComponents(edges, aCol, bCol, maxIter)
+      .withColumnRenamed("id", idCol)
+    val labeled = nodes.select(col(idCol).cast("long").as(idCol))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("component"))
+    val sizes = labeled.groupBy("component").agg(count(lit(1)).as("csize"))
+    labeled.join(sizes, "component")
+      .select(col(idCol), col("component"), col("csize"))
+  }
+}

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.ann.Ann
 import graft.core.{Exact, Tables}
-import graft.dedup.Dedup
+import graft.dedup.{ConnectedComponents, Dedup}
 import graft.text.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -180,6 +180,57 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** q58: ORC source/sink round-trip — the q50 gate for the second columnar
+    * interchange format ([[graft.sources.Orc]]): stage the documents table
+    * as ORC once (content-fingerprinted path, atomic publish), read it back
+    * through the explicit-schema reader, and project the same per-row
+    * fingerprint; the DuckDB oracle reads the PARQUET original, so equality
+    * proves the ORC encode+decode carried every value losslessly.
+    */
+  def q58OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir))
+    val stage = graft.core.Staging.stageOnce(
+      graft.core.Staging.stagePathFor("orc",
+        java.nio.file.Paths.get(dir, "documents.parquet"))) { tmp =>
+      graft.sources.Orc.write(docs, tmp.toString)
+    }.toString
+    graft.sources.Orc.read(s, stage, docs.schema)
+      .select(col("doc_id"), col("lang"), col("source"),
+        sha2(col("text").cast("binary"), 256).as("text_sha"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** q59: Hive-style partition pruning — the documents table staged ONCE
+    * partitioned by lang (`lang=<v>/` directories, the layout a 100 TB
+    * corpus ships in), then read back with a lang predicate. The predicate
+    * resolves against DIRECTORY NAMES at planning time (`PartitionFilters`
+    * in the scan, asserted by spec), so the job never opens the other
+    * partitions' files — the same pruning that turns a full-corpus scan
+    * into a single-language scan at scale. Values oracled against an
+    * unpartitioned DuckDB filter over the original.
+    */
+  def q59PartitionPruned(s: SparkSession, dir: String): DataFrame = {
+    prunedLangScan(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        sha2(col("text").cast("binary"), 256).as("text_sha"))
+      .orderBy("doc_id")
+  }
+
+  /** The pruned scan itself (shared with the plan-shape spec): stage
+    * lang-partitioned parquet, read with an equality predicate on the
+    * partition column.
+    */
+  private[graft] def prunedLangScan(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val stage = graft.core.Staging.stageOnce(
+      graft.core.Staging.stagePathFor("langpart",
+        java.nio.file.Paths.get(dir, "documents.parquet"))) { tmp =>
+      Tables.spread(docs).write.partitionBy("lang").parquet(tmp.toString)
+    }.toString
+    s.read.parquet(stage).filter(col("lang") === "en")
+  }
+
   /** Embedding near-dup pairs through the LSH-blocked pair generator in
     * degenerate-complete mode (nBits = 0, bands = 1 ⇒ one bucket per label
     * block) — arithmetically the brute-force blocked join, so q24's DuckDB
@@ -247,6 +298,29 @@ object PipelineQueries {
     Dedup.jaccardPairs(Tables.spread(Tables.documents(s, dir)), "doc_id", "text",
       blockCols = Seq("lang"), n = 3, threshold = 0.8, maxShingleDf = 2L)
       .orderBy("a_id", "b_id")
+
+  /** q57: near-dup CLUSTERS — the missing step between pairwise similarity
+    * joins and dedup policy. Similarity is not transitive (a~b and b~c do
+    * not imply a~c), so keep/drop must act on connected components of the
+    * pair graph; this runs the production prefix-filtered Jaccard join at
+    * τ = 0.5 and the large-star/small-star
+    * [[graft.dedup.ConnectedComponents]] over its pairs, emitting every
+    * document with its component minimum (the surviving representative) and
+    * cluster size. Oracle: the same pair SQL feeding a recursive min-label
+    * closure CTE — transitivity is checked end-to-end, not per-edge.
+    */
+  def q57DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir))
+    val (pairs, release) = Dedup.jaccardPairsPrefixReleasable(
+      docs, "doc_id", "text", Seq("lang"), 3, 0.5)
+    val out = ConnectedComponents.componentsFor(
+      docs.select("doc_id"), "doc_id", pairs, "a_id", "b_id")
+      .orderBy("doc_id")
+    // componentsFor's iteration has materialized (and finished with) the
+    // pair join's persisted shingle relation by the time it returns
+    release()
+    out
+  }
 
   /** Token/stopword quality metrics aggregated per lang. */
   def q28TextQuality(s: SparkSession, dir: String): DataFrame = {
@@ -425,6 +499,55 @@ object PipelineSql {
        |) WHERE j >= 0.8 ORDER BY a_id, b_id""".stripMargin
 
   val q56JaccardCappedReal: String = jaccardCappedSql(2L)
+
+  /** q57 oracle: the naive pair join at τ = 0.5 feeding a RECURSIVE
+    * min-label closure — (id, lbl) starts at (doc_id, doc_id) and every
+    * label walks every edge (pruned to lbl < destination, which cannot
+    * change the per-id MIN), so MIN(lbl) per id is the connected-component
+    * minimum by induction on the path from the minimum to each member.
+    * Transitive-closure semantics checked end-to-end in one query.
+    */
+  val q57DedupClusters: String =
+    """WITH RECURSIVE
+      |words AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, lang, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |  FROM words, UNNEST(generate_series(1, len(ws)-2)) t(i)
+      |),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a_id, b_id FROM (
+      |    SELECT a_id, b_id,
+      |      ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS j
+      |    FROM (
+      |      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+      |      FROM sh a JOIN sh b ON a.s = b.s AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2
+      |    ) JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+      |  ) WHERE j >= 0.5
+      |),
+      |e AS (SELECT a_id AS src, b_id AS dst FROM pairs
+      |      UNION ALL SELECT b_id, a_id FROM pairs),
+      |reach(id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.id WHERE r.lbl < e.dst
+      |),
+      |comp AS (SELECT id AS doc_id, MIN(lbl) AS component FROM reach GROUP BY id)
+      |SELECT c.doc_id, c.component, cs.csize
+      |FROM comp c JOIN (
+      |  SELECT component, COUNT(*) AS csize FROM comp GROUP BY component
+      |) cs ON cs.component = c.component
+      |ORDER BY c.doc_id""".stripMargin
+
+  /** q59 oracle: the same projection + lang filter over the UNPARTITIONED
+    * original — values must be identical whether the engine pruned
+    * directories or scanned everything (the pruning itself is asserted by
+    * the plan-shape spec).
+    */
+  val q59PartitionPruned: String =
+    """SELECT doc_id, lang, source, sha256(text) AS text_sha
+      |FROM documents WHERE lang = 'en' ORDER BY doc_id""".stripMargin
 
   val q24EmbDup: String =
     """SELECT a_id, b_id, simr FROM (

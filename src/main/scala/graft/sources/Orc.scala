@@ -1,0 +1,26 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** ORC source/sink — the second columnar interchange format large Hadoop
+  * estates standardize on besides parquet; a complete engine must read and
+  * write both without conversion detours.
+  *
+  * Reads take an EXPLICIT expected schema (same rule as [[Jsonl]] and the
+  * CSV sources): ORC files are self-describing, but pinning the schema at
+  * the read makes writer-side drift (a column renamed or retyped upstream)
+  * fail loudly at plan time instead of surfacing as nulls downstream, and
+  * prunes the scan to the declared columns. ORC stripes split like parquet
+  * row groups, predicate pushdown reaches the stripe/row-group indexes
+  * through the same `PushedFilters` path, so the 100 TB read shape is
+  * identical to the parquet scans.
+  */
+object Orc {
+
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def write(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+}

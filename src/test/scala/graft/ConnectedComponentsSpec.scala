@@ -1,0 +1,95 @@
+package graft
+
+import graft.core.{GraftSession, Tables}
+import graft.dedup.{ConnectedComponents, Dedup}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ground truth for the large-star/small-star connected-components operator:
+  * a sequential union-find over the same edges.
+  */
+class ConnectedComponentsSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.local(4, "cc-spec")
+
+  /** Sequential union-find (path compression) — the test oracle. */
+  private def unionFind(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // roots are already component minima: union always keeps the smaller root
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  test("transitive chains collapse into one cluster (near-dup is not transitive)") {
+    import spark.implicits._
+    // a-b and b-c are edges but a-c is not; plus an isolated node
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 99L).toDF("doc_id")
+    val got = ConnectedComponents.componentsFor(nodes, "doc_id", edges, "a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L), (99L, 99L, 1L)))
+  }
+
+  test("random graphs match sequential union-find (100 nodes, varying density)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(424242)
+    for (nEdges <- Seq(0, 5, 60, 300)) {
+      val nodes = (0L until 100L)
+      val edges = Seq.fill(nEdges)((rng.nextInt(100).toLong, rng.nextInt(100).toLong))
+        .filter { case (a, b) => a != b }
+      val expect = unionFind(nodes, edges)
+      val got = ConnectedComponents.componentsFor(
+          nodes.toDF("id"), "id",
+          edges.toDF("a", "b").union(edges.map(_.swap).toDF("a", "b")), // both orientations + dups
+          "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"nEdges=$nEdges")
+    }
+  }
+
+  test("empty edge list yields all-singleton components") {
+    import spark.implicits._
+    val nodes = Seq(7L, 8L).toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    val got = ConnectedComponents.componentsFor(nodes, "id", edges, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((7L, 7L, 1L), (8L, 8L, 1L)))
+  }
+
+  test("star graph with a hot hub converges without neighbor-list blowup") {
+    import spark.implicits._
+    // one hub connected to 5000 spokes — the skew shape that breaks
+    // collect_list implementations; here it is one groupBy-min partial agg
+    val edges = (1L to 5000L).map(i => (0L, i)).toDF("a", "b")
+    val comp = ConnectedComponents.connectedComponents(edges, "a", "b")
+    assert(comp.agg(countDistinct(col("component"))).head.getLong(0) == 1L)
+    assert(comp.count() == 5001L)
+    assert(comp.agg(max(col("component"))).head.getLong(0) == 0L)
+  }
+
+  test("document near-dup clusters: pairs from the prefix join, clusters vs union-find") {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", Seq("lang"), 3, 0.5)
+    val edgeSeq = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val nodeSeq = docs.select("doc_id").collect().map(_.getLong(0)).toSeq
+    val expect = unionFind(nodeSeq, edgeSeq)
+    val got = ConnectedComponents.componentsFor(
+        docs.select("doc_id"), "doc_id", pairs, "a_id", "b_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    val nontrivial = expect.groupBy(_._2).count(_._2.size > 1)
+    info(s"docs=${nodeSeq.size} edges=${edgeSeq.size} nontrivial clusters=$nontrivial")
+  }
+}

@@ -39,6 +39,46 @@ class CsvSourcesSpec extends AnyFunSuite {
     assert(back.toSeq == rows.sortBy(_._1))
   }
 
+  test("ORC round-trip is lossless on adversarial strings") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "plain ascii"),
+      (2L, "embedded \"quotes\" and \\ backslashes"),
+      (3L, "newline\nand\ttab and\rcarriage"),
+      (4L, "unicode: tøkens blïss é中文"),
+      (5L, "non-BMP emoji: 😀🎉"),
+      (6L, "control  char and replacement �"),
+      (7L, ""),
+      (8L, "  leading/trailing  "),
+      (9L, "null"))
+    val df = rows.toDF("id", "text")
+    val stage = java.nio.file.Files.createTempDirectory("graft-orc-spec-")
+      .resolve("t").toString
+    graft.sources.Orc.write(df, stage)
+    val back = graft.sources.Orc.read(spark, stage, df.schema)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(back.toSeq == rows.sortBy(_._1))
+  }
+
+  test("ORC explicit-schema read pushes filters and prunes columns") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val stage = java.nio.file.Files.createTempDirectory("graft-orc-plan-")
+      .resolve("t").toString
+    graft.sources.Orc.write(
+      (1L to 100L).map(i => (i, s"text $i", i * 2.0)).toDF("id", "text", "score"), stage)
+    val df = graft.sources.Orc.read(spark, stage,
+        new org.apache.spark.sql.types.StructType()
+          .add("id", "long").add("text", "string").add("score", "double"))
+      .filter(col("id") > 90L).select("id", "text")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(id,90"),
+      s"ORC scan did not push the id filter:\n$plan")
+    assert(plan.contains("ReadSchema: struct<id:bigint,text:string>"),
+      s"ORC scan does not prune to the projected columns:\n$plan")
+    assert(df.count() == 10)
+  }
+
   test("JSONL corrupt lines: permissive read nulls them, strict read fails loudly") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-bad-")

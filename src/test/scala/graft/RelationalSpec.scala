@@ -63,4 +63,34 @@ class RelationalSpec extends AnyFunSuite {
       assert(rows == shuffle, "bucketed join result differs from the shuffle join twin")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
   }
+
+  test("q59 scan prunes lang partitions at planning time") {
+    import graft.operators.PipelineQueries
+    val df = PipelineQueries.prunedLangScan(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the lang predicate must resolve against directory names
+    // (PartitionFilters), not as a data filter over opened files
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").contains("lang"),
+      s"lang predicate did not become a partition filter:\n$plan")
+    assert(!plan.contains("PushedFilters: [IsNotNull(lang)"),
+      s"lang leaked into data filters — partitions are being scanned:\n$plan")
+    // and the executed scan actually OPENED only the lang=en files
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no file scan in the executed plan"))
+    val stage = graft.core.Staging.stagePathFor("langpart",
+      java.nio.file.Paths.get(dir, "documents.parquet"))
+    def partFiles(sub: String): Long = {
+      val d = stage.resolve(sub)
+      scala.util.Using.resource(java.nio.file.Files.list(d))(
+        _.filter(p => p.getFileName.toString.endsWith(".parquet")).count())
+    }
+    val enFiles = partFiles("lang=en")
+    val deFiles = partFiles("lang=de")
+    assert(deFiles > 0, "staging is missing the non-en partitions")
+    assert(scan.metrics("numFiles").value == enFiles,
+      s"scan opened ${scan.metrics("numFiles").value} files, lang=en has $enFiles")
+  }
 }
