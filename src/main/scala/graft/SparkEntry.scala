@@ -75,6 +75,9 @@ object SparkEntry {
     "q57_dedup_clusters"  -> (PipelineQueries.q57DedupClusters _),
     "q58_orc_roundtrip"   -> (PipelineQueries.q58OrcRoundtrip _),
     "q59_partition_pruned" -> (PipelineQueries.q59PartitionPruned _),
+    "q60_hash_sample"     -> (SamplingQueries.q60HashSample _),
+    "q61_stratified_sample" -> (SamplingQueries.q61StratifiedSample _),
+    "q62_weighted_mix"    -> (SamplingQueries.q62WeightedMix _),
     // flagship pipeline (not SQL-expressible: broadcast-model stages) —
     // driver records rows-only checks for these two.
     "q30_quality_filter"  -> (DocumentsAdapter.qualityFilterQuery _),
@@ -154,6 +157,11 @@ object SparkEntry {
     "q58_orc_roundtrip"   -> PipelineSql.q50JsonlRoundtrip,
     // partition-pruned scan must return exactly the unpartitioned filter
     "q59_partition_pruned" -> PipelineSql.q59PartitionPruned,
+    // deterministic sampling/mixing: the decision hash is sha256 hex in
+    // both engines, so the oracles replay the exact keep/drop rule
+    "q60_hash_sample"     -> SamplingSql.q60HashSample,
+    "q61_stratified_sample" -> SamplingSql.q61StratifiedSample,
+    "q62_weighted_mix"    -> SamplingSql.q62WeightedMix,
     // (q55_simhash_pairs stays rows-only: simhash signatures aren't
     // DuckDB-expressible; spec-gated like q22)
   )

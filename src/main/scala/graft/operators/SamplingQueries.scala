@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.core.Tables
+import graft.sample.Sampling
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver queries for the deterministic sampling/mixing family
+  * ([[graft.sample.Sampling]]) with their DuckDB twins: the decision hash is
+  * plain sha256 hex, so the oracles replay the exact keep/drop rule —
+  * value-exact gates, not distribution checks.
+  */
+object SamplingQueries {
+
+  /** Shared mix spec for q62 (query and oracle are generated from it). */
+  private[graft] val MixRates: Seq[(String, Double)] =
+    Seq("en" -> 0.5, "de" -> 1.0, "es" -> 0.25, "fr" -> 0.1, "zh" -> 0.0)
+
+  /** q60: deterministic Bernoulli sample of the documents table at 25% —
+    * the decision hash is emitted so the oracle checks the mechanism, not
+    * just the membership.
+    */
+  def q60HashSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.hashSample(Tables.spread(Tables.documents(s, dir)),
+        col("doc_id"), 0.25, "q60")
+      .select(col("doc_id"), col("lang"), col("source"),
+        Sampling.hashKey("q60", col("doc_id")).as("hkey"))
+      .orderBy("doc_id")
+
+  /** q61: per-language quota of 5 docs, smallest decision hashes first. */
+  def q61StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(Tables.spread(Tables.documents(s, dir)),
+        Seq("lang"), 5, col("doc_id"), "q61")
+      .select(col("doc_id"), col("lang"), col("rk"))
+      .orderBy("doc_id")
+
+  /** q62: weighted source mix over lang at the [[MixRates]] rates (de kept
+    * whole, zh zeroed out — both edge thresholds exercised).
+    */
+  def q62WeightedMix(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedMix(Tables.spread(Tables.documents(s, dir)),
+        "lang", MixRates, col("doc_id"), "q62")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+}
+
+object SamplingSql {
+
+  private def hkey(seed: String): String =
+    s"substr(sha256('$seed:' || CAST(doc_id AS VARCHAR)), 1, 8)"
+
+  val q60HashSample: String =
+    s"""SELECT doc_id, lang, source, ${hkey("q60")} AS hkey
+       |FROM documents
+       |WHERE ${hkey("q60")} < '${Sampling.thresholdHex(0.25)}'
+       |ORDER BY doc_id""".stripMargin
+
+  val q61StratifiedSample: String =
+    s"""SELECT doc_id, lang, rk FROM (
+       |  SELECT doc_id, lang,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ${hkey("q61")}, doc_id) AS rk
+       |  FROM documents
+       |) WHERE rk <= 5 ORDER BY doc_id""".stripMargin
+
+  val q62WeightedMix: String = {
+    val cases = SamplingQueries.MixRates
+      .map { case (g, r) => s"WHEN '$g' THEN '${Sampling.thresholdHex(r)}'" }
+      .mkString(" ")
+    s"""SELECT doc_id, lang, source
+       |FROM documents
+       |WHERE ${hkey("q62")} < CASE lang $cases ELSE '0' END
+       |ORDER BY doc_id""".stripMargin
+  }
+}

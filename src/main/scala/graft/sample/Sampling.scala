@@ -1,0 +1,95 @@
+package graft.sample
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset-mixing operators — the selection
+  * family of a training-data pipeline: subsample a corpus for ablations,
+  * draw per-language evaluation slices, and mix heterogeneous sources at
+  * prescribed rates into one training stream.
+  *
+  * All three operators key the decision on `sha256(seed ":" key)` rather
+  * than an RNG, which is what survives at 100 TB:
+  *
+  *   - '''Deterministic & partition-independent''': the keep/drop decision
+  *     for a row depends only on (seed, key), never on partitioning, task
+  *     retries, or visit order — reruns and speculative tasks agree, so the
+  *     sample is idempotent and resumable (the same property the snapshot
+  *     table needs from its writers).
+  *   - '''Narrow''': Bernoulli sampling and mixing are pure per-row filters
+  *     — no shuffle, no state; they fuse into the scan's codegen stage and
+  *     combine with predicate pushdown of other filters.
+  *   - '''Coordinated''': the same (seed, key) across two tables selects the
+  *     same keys — paired samples (e.g. documents and their embeddings) stay
+  *     aligned with no join.
+  *
+  * The hash is compared as a LOWERCASE-HEX STRING prefix: a fixed-width hex
+  * comparison is exactly the numeric comparison of the top 32 bits, and hex
+  * output of sha256 is identical across engines (unlike float arithmetic),
+  * so samples are value-reproducible in any system with sha256 — the DuckDB
+  * oracles of q60–q62 replay these operators verbatim.
+  */
+object Sampling {
+
+  /** The decision hash: lowercase-hex sha256 of `seed ":" key`, first 8
+    * nibbles (top 32 bits) — uniform on [0, 2³²) for any reasonable key.
+    */
+  def hashKey(seed: String, keyCol: Column): Column =
+    substring(sha2(concat(lit(seed + ":"), keyCol.cast("string")).cast("binary"), 256), 1, 8)
+
+  /** Threshold literal for a keep-rate: rows are kept iff
+    * `hashKey < thresholdHex(rate)`. `"g"` sorts after every hex digit, so
+    * rate ≥ 1 keeps all rows; `"0"` precedes nothing, so rate ≤ 0 keeps
+    * none. 32-bit resolution ⇒ rate granularity 2⁻³² — below any sampling
+    * noise that matters.
+    */
+  def thresholdHex(rate: Double): String =
+    if (rate >= 1.0) "g"
+    else if (rate <= 0.0) "0"
+    else f"${(rate * 4294967296.0).toLong}%08x"
+
+  /** Deterministic Bernoulli sample: keep each row with probability `rate`,
+    * decided by the row's own key — a narrow filter, no shuffle, stable
+    * under retries and repartitioning.
+    */
+  def hashSample(df: DataFrame, keyCol: Column, rate: Double, seed: String): DataFrame =
+    df.filter(hashKey(seed, keyCol) < lit(thresholdHex(rate)))
+
+  /** Deterministic stratified sample: exactly `min(k, |stratum|)` rows per
+    * stratum, chosen as the k smallest decision hashes (ties broken by the
+    * key — total order, so the draw is unique). Emits the within-stratum
+    * rank as `rk` (1-based, long).
+    *
+    * Scale shape: one shuffle on the stratum columns + an in-partition sort
+    * (the window). For strata far larger than executor memory and small k,
+    * the sort never spills the full stratum: Spark's window top-k runs on
+    * sorted partitions and the filter prunes immediately after rank
+    * assignment. A skewed giant stratum still sorts its rows once — the
+    * price of EXACT per-stratum quotas; approximate quotas could instead
+    * reuse [[hashSample]] with per-stratum rates from a first counting pass.
+    */
+  def stratifiedSample(df: DataFrame, stratumCols: Seq[String], k: Int,
+      keyCol: Column, seed: String): DataFrame = {
+    val w = Window.partitionBy(stratumCols.map(col): _*)
+      .orderBy(hashKey(seed, keyCol), keyCol)
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** Deterministic weighted mix: keep rows of group `g` (the value of
+    * `mixCol`) with probability `rates(g)`; groups absent from `rates` are
+    * dropped. The per-group thresholds compile to one CASE column — a
+    * narrow filter like [[hashSample]], no join, no shuffle; `rates` is a
+    * handful of corpus names, so the CASE stays tiny. This is the
+    * training-mix operator: upsample a scarce source toward its target
+    * share by giving it rate 1.0 and scaling the abundant ones down.
+    */
+  def weightedMix(df: DataFrame, mixCol: String, rates: Seq[(String, Double)],
+      keyCol: Column, seed: String): DataFrame = {
+    val thr = rates.foldLeft(lit("0")) { case (acc, (g, r)) =>
+      when(col(mixCol) === g, lit(thresholdHex(r))).otherwise(acc)
+    }
+    df.filter(hashKey(seed, keyCol) < thr)
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.core.GraftSession
+import graft.sample.Sampling
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic sampling/mixing: partition-independence, exact quotas,
+  * rate accuracy, seed sensitivity, threshold edges.
+  */
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4, "sampling-spec")
+
+  private def ids(n: Int) = {
+    import spark.implicits._
+    (1L to n.toLong).map(i => (i, s"g${i % 7}")).toDF("id", "grp")
+  }
+
+  test("hashSample is deterministic and partition-independent") {
+    val df = ids(2000)
+    val a = Sampling.hashSample(df.repartition(1), col("id"), 0.3, "s")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(df.repartition(13), col("id"), 0.3, "s")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("hashSample rate is accurate and monotone in rate; seeds decorrelate") {
+    val df = ids(20000)
+    val n30 = Sampling.hashSample(df, col("id"), 0.30, "s").count()
+    val n60 = Sampling.hashSample(df, col("id"), 0.60, "s").count()
+    assert(math.abs(n30 / 20000.0 - 0.30) < 0.02, s"n30=$n30")
+    assert(math.abs(n60 / 20000.0 - 0.60) < 0.02, s"n60=$n60")
+    // a lower-rate sample with the same seed is a SUBSET of the higher-rate
+    // one (threshold monotonicity) — the property that makes staged
+    // ablations (1% ⊂ 10% ⊂ 100%) consistent
+    val s30 = Sampling.hashSample(df, col("id"), 0.30, "s")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val s60 = Sampling.hashSample(df, col("id"), 0.60, "s")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(s30.subsetOf(s60))
+    // a different seed draws an (approximately) independent sample
+    val t30 = Sampling.hashSample(df, col("id"), 0.30, "other")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val overlap = (s30 & t30).size / s30.size.toDouble
+    assert(overlap > 0.2 && overlap < 0.4, s"overlap=$overlap")
+  }
+
+  test("rate edges: 0 keeps nothing, 1 keeps everything") {
+    val df = ids(100)
+    assert(Sampling.hashSample(df, col("id"), 0.0, "s").count() == 0L)
+    assert(Sampling.hashSample(df, col("id"), 1.0, "s").count() == 100L)
+    assert(Sampling.thresholdHex(1.0) == "g" && "ffffffff" < "g")
+  }
+
+  test("stratifiedSample: exact quota per stratum, capped by stratum size") {
+    import spark.implicits._
+    val df = ids(700) // 7 groups x 100
+    val got = Sampling.stratifiedSample(df, Seq("grp"), 10, col("id"), "s")
+    val per = got.groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per.size == 7 && per.values.forall(_ == 10L))
+    // a stratum smaller than k yields the whole stratum
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "grp")
+    val gotTiny = Sampling.stratifiedSample(tiny, Seq("grp"), 5, col("id"), "s")
+    assert(gotTiny.count() == 3L)
+    // ranks are 1..k and the draw is the k smallest hashes (spot check)
+    val ranks = got.filter(col("grp") === "g0").select("rk").collect().map(_.getLong(0)).sorted
+    assert(ranks.toSeq == (1L to 10L))
+  }
+
+  test("stratifiedSample is partition-independent") {
+    val df = ids(700)
+    def draw(p: Int) = Sampling.stratifiedSample(df.repartition(p), Seq("grp"), 10, col("id"), "s")
+      .select("id", "rk").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(draw(1) == draw(11))
+  }
+
+  test("weightedMix honors per-group rates including 0 and 1") {
+    val df = ids(14000) // 2000 per group
+    val mix = Sampling.weightedMix(df, "grp",
+      Seq("g0" -> 1.0, "g1" -> 0.5, "g2" -> 0.0), col("id"), "s")
+    val per = mix.groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(per("g0") == 2000L)
+    assert(math.abs(per("g1") / 2000.0 - 0.5) < 0.05, s"g1=${per("g1")}")
+    assert(!per.contains("g2"), "zero-rate group leaked rows")
+    assert(!per.contains("g3"), "unlisted group leaked rows")
+  }
+
+  test("mix keep/drop agrees with hashSample at the same seed (coordination)") {
+    val df = ids(2000)
+    val viaMix = Sampling.weightedMix(df, "grp",
+      (0 to 6).map(i => s"g$i" -> 0.3), col("id"), "s")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val viaSample = Sampling.hashSample(df, col("id"), 0.3, "s")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(viaMix == viaSample)
+  }
+}
