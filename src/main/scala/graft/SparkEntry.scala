@@ -78,6 +78,11 @@ object SparkEntry {
     "q60_hash_sample"     -> (SamplingQueries.q60HashSample _),
     "q61_stratified_sample" -> (SamplingQueries.q61StratifiedSample _),
     "q62_weighted_mix"    -> (SamplingQueries.q62WeightedMix _),
+    "q63_normalize"       -> (PipelineQueries.q63Normalize _),
+    "q64_salted_join"     -> (Relational.q64SaltedJoin _),
+    // sketch family: rows-only by nature (approximate impls differ across
+    // engines); each row carries its exact twin, ScalaTest bounds the error
+    "q65_sketches"        -> (PipelineQueries.q65Sketches _),
     // flagship pipeline (not SQL-expressible: broadcast-model stages) —
     // driver records rows-only checks for these two.
     "q30_quality_filter"  -> (DocumentsAdapter.qualityFilterQuery _),
@@ -162,6 +167,13 @@ object SparkEntry {
     "q60_hash_sample"     -> SamplingSql.q60HashSample,
     "q61_stratified_sample" -> SamplingSql.q61StratifiedSample,
     "q62_weighted_mix"    -> SamplingSql.q62WeightedMix,
+    // unicode canonicalization: NFC + strip-marks + simple lowercase over
+    // deterministically-injected unicode, vs DuckDB's
+    // lower(strip_accents(nfc_normalize(...))) — per-row value gate
+    "q63_normalize"       -> PipelineSql.q63Normalize,
+    // skew-salted join: result multiset is provably the unsalted join's,
+    // so the plain-join oracle value-checks the salting rewrite
+    "q64_salted_join"     -> RelationalSql.q05JoinShuffle,
     // (q55_simhash_pairs stays rows-only: simhash signatures aren't
     // DuckDB-expressible; spec-gated like q22)
   )

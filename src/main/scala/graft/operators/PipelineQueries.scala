@@ -332,6 +332,52 @@ object PipelineQueries {
       .orderBy("lang")
   }
 
+  /** q63: Unicode canonicalization (NFC + strip accents/marks + simple
+    * lowercase) as the [[graft.functions.NormalizeText]] native expression.
+    * The corpus text is pure ASCII, so a deterministic per-row Unicode
+    * snippet (decomposed accents, Greek final-sigma context, Mc/Me marks,
+    * Hangul, ligatures — [[PipelineSql.NormalizeSnippets]]) is prepended on
+    * BOTH sides, q53-style; the oracle replays the exact portable chain
+    * `lower(strip_accents(nfc_normalize(s)))` in DuckDB, so every
+    * normalization decision — composition, mark category, case mapping —
+    * is value-checked per row.
+    */
+  def q63Normalize(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir))
+    val inject = element_at(
+      array(PipelineSql.NormalizeSnippets.map(lit): _*),
+      (col("doc_id") % 8).cast("int") + 1)
+    docs.select(col("doc_id"),
+        graft.functions.NormalizeText.col(
+          concat(inject, lit(" "), col("text"))).as("norm"))
+      .orderBy("doc_id")
+  }
+
+  /** q65: the sketch family — per-source HyperLogLog++ approximate
+    * distinct counts and quantile-summary approximate percentiles, emitted
+    * NEXT TO their exact twins so every row carries its own error evidence.
+    * Rows-only by nature (DuckDB's approximate implementations differ);
+    * the ScalaTest gate bounds relative error and asserts determinism
+    * across partitionings (HLL++ merges registers by max and the GK
+    * summary by rank bounds — both merge-order independent).
+    *
+    * At 100 TB the approximate forms are the point: HLL++ distinct-count
+    * is O(registers) memory per group vs an exact distinct's full shuffle
+    * of every value, and the quantile summary replaces a full sort — the
+    * standard first pass for corpus stats (docs per source, length
+    * distributions) before committing to exact jobs.
+    */
+  def q65Sketches(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.spread(Tables.documents(s, dir))
+    docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("text")).as("exact_distinct"),
+      approx_count_distinct(col("text"), 0.02).as("approx_distinct"),
+      percentile(col("n_chars"), lit(0.5)).as("exact_p50"),
+      percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("approx_p50"))
+      .orderBy("source")
+  }
+
   /** Rolling-hash fingerprints (rows-only; deterministic per text). */
   def q32Fingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprints(Tables.spread(Tables.documents(s, dir)), "doc_id", "text")
@@ -399,6 +445,32 @@ object PipelineQueries {
 }
 
 object PipelineSql {
+
+  /** q63 injection snippets (index = doc_id % 8), chosen to exercise every
+    * normalization decision: decomposed vs composed accents, German ß (kept
+    * by strip), Greek capital sigma in final position (simple vs contextual
+    * lowercase), Turkish İ/ı, Devanagari spacing matra (Mc), enclosing
+    * circle (Me), compatibility ligatures (NFC keeps them), Hangul
+    * (round-trips composed), and an UPPER-ASCII row for the fast path.
+    */
+  val NormalizeSnippets: Seq[String] = Seq(
+    "Mühleisen Straße ÀÉÎÕÜ çğş",
+    "ΣΟΦΟΣ Τέλος",
+    "İstanbul ııı I",
+    "composéd é ǟ",
+    "a⃝b कार",
+    "ﬁnance ﬀ ǅungla",
+    "한국어 ǖber",
+    "UPPER AscII Row")
+
+  val q63Normalize: String = {
+    val cases = NormalizeSnippets.zipWithIndex
+      .map { case (s, i) => s"WHEN $i THEN '$s'" }.mkString(" ")
+    s"""SELECT doc_id,
+       |  lower(strip_accents(nfc_normalize(
+       |    (CASE doc_id % 8 $cases END) || ' ' || text))) AS norm
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
   val q20ExactDedup: String =
     """SELECT MIN(event_id) AS keep_id, COUNT(*) AS dups
       |FROM events GROUP BY props ORDER BY keep_id""".stripMargin

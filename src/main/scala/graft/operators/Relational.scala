@@ -146,13 +146,37 @@ object Relational {
   /** The one revenue-per-priority aggregation both join twins share — the
     * q05/q51 oracle equality depends on these being the SAME expressions.
     */
-  private def priorityRevenueAgg(li: DataFrame, o: DataFrame): DataFrame = {
+  private def priorityRevenueAgg(li: DataFrame, o: DataFrame): DataFrame =
+    priorityRevenueAggOn(li.join(o, li("l_orderkey") === o("o_orderkey")))
+
+  /** The shared aggregation over an already-joined lineitem×orders relation
+    * (q05 shuffle join, q51 bucketed join, q64 salted join — one
+    * aggregation, three co-location strategies, one oracle).
+    */
+  private def priorityRevenueAggOn(joined: DataFrame): DataFrame = {
     val revenue = col("l_extendedprice").cast(DecimalType(18, 2)) *
       (lit(1).cast(DecimalType(18, 2)) - col("l_discount").cast(DecimalType(18, 2)))
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
+    joined
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_lines"), sum(revenue).cast("double").as("revenue"))
       .orderBy("o_orderpriority")
+  }
+
+  /** J-family strategy 4 — skew-salted shuffle join ([[Skew.saltedJoin]]):
+    * q05's query with the join's shuffle key widened to
+    * (orderkey, salt-of-row-identity), so a hot orderkey spreads over 4
+    * reducer tasks. Result is provably the unsalted join's — q05's oracle
+    * value-checks it row-for-row.
+    */
+  def q64SaltedJoin(s: SparkSession, dir: String): DataFrame =
+    priorityRevenueAggOn(saltedLineitemOrders(s, dir))
+
+  /** The salted join itself, shared with the plan-shape spec. */
+  private[graft] def saltedLineitemOrders(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    Skew.saltedJoin(li, o, li("l_orderkey"), o("o_orderkey"), salts = 4,
+      li("l_orderkey"), li("l_linenumber"))
   }
 
   /** P4/P8: predicate + projection pushdown. The physical scan must show

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Explicit hot-key mitigation for shuffle joins — the fourth co-location
+  * strategy of the J family (q04 broadcasts, q05 shuffles, q51 pre-buckets,
+  * q64 salts): when one join key carries a disproportionate share of the
+  * probe side (one repo with 10⁸ files, one order with 10⁶ lines), a plain
+  * equi-join shuffles every row of that key into ONE reducer task — the
+  * straggler that decides the stage's wall clock at 100 TB.
+  *
+  * Salting rewrites the join to an equivalent one whose shuffle key is
+  * `(key, salt)`: the big side derives a deterministic salt in [0, S) from
+  * its own row identity (NOT from the key — all rows of a hot key share the
+  * key's hash), and the small side is replicated S ways, one copy per salt.
+  * Each big row then matches exactly the one replica carrying its salt, so
+  * the result multiset is IDENTICAL to the unsalted join (q64's oracle is
+  * literally q05's plain-join SQL) while the hot key's rows spread over S
+  * reducer tasks. Cost: the small side is shuffled S× — bounded and chosen
+  * (S ~ a few × the skew factor), unlike the unbounded straggler it removes.
+  *
+  * This is the manual, deterministic form of what AQE's skew-join split
+  * does adaptively at runtime; it works in all the places AQE cannot see
+  * (first execution before stats, streaming joins, bucketed inputs) and
+  * composes with it.
+  */
+object Skew {
+
+  /** Equi-join `big ⋈ small` on `bigKey = smallKey`, shuffle-salted with
+    * `salts` buckets. `saltSrc` columns are any expressions over the BIG
+    * side that vary within a hot key (e.g. a line number, or the row's full
+    * identity); the salt is `pmod(xxhash64(saltSrc*), salts)` —
+    * deterministic per row, so retries and reruns are stable.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: Column,
+      smallKey: Column, salts: Int, saltSrc: Column*): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    require(saltSrc.nonEmpty, "saltedJoin needs at least one salt-source column")
+    val b = big.withColumn("_salt_b", pmod(xxhash64(saltSrc: _*), lit(salts.toLong)).cast("int"))
+    val s = small.withColumn("_salt_s",
+      explode(array((0 until salts).map(i => lit(i)): _*)))
+    b.join(s, bigKey === smallKey && col("_salt_b") === col("_salt_s"))
+      .drop("_salt_b", "_salt_s")
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.core.GraftSession
+import graft.functions.NormalizeText
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden-value and structural tests for the NormalizeText native
+  * expression (goldens cross-checked against DuckDB's
+  * lower(strip_accents(nfc_normalize(s))) — the q63 oracle chain).
+  */
+class NormalizeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4, "normalize-spec")
+
+  private def full(s: String): String =
+    NormalizeText(null, stripAccents = true, lowercase = true)
+      .compute(UTF8String.fromString(s)).toString
+
+  test("golden values match the portable chain (DuckDB-verified)") {
+    val goldens = Seq(
+      "Mühleisen Straße" -> "muhleisen straße", // ß is not an accent
+      "ÀÉÎÕÜ çğş ā" -> "aeiou cgs a",
+      "ΣΟΦΟΣ σοφος ΤΕΛΟΣ" -> "σοφοσ σοφος τελοσ", // SIMPLE mapping: no final-sigma context
+      "İstanbul I ı" -> "istanbul i ı", // İ decomposes to I + Mn dot; stripped then lowered
+      "कार" -> "कर", // Mc spacing matra stripped
+      "a⃝b" -> "ab", // Me enclosing mark stripped
+      "한국어 ǖber" -> "한국어 uber", // Hangul recomposes; double-marked ǖ fully stripped
+      "ﬁle ﬀ ǅungla" -> "ﬁle ﬀ ǆungla", // NFC keeps compatibility ligatures; ǅ titlecase lowers
+      "😀noël" -> "😀noel",
+      "MIXED ascii Tail" -> "mixed ascii tail")
+    for ((in, want) <- goldens) assert(full(in) == want, s"input=${in}")
+  }
+
+  test("decomposed and composed inputs normalize identically") {
+    val composed = "compos\u00e9d \u00e9 \u01df"
+    val decomposed = "compose\u0301d e\u0301 a\u0308\u0304"
+    assert(full(composed) == full(decomposed))
+    assert(full(decomposed) == "composed e a")
+  }
+
+  test("idempotent: normalize(normalize(x)) == normalize(x)") {
+    for (s <- Seq("Mühleisen ΣΟΦΟΣ", "कार a⃝b", "ﬁ ǅ 한국어", "plain"))
+      assert(full(full(s)) == full(s))
+  }
+
+  test("pure-ASCII fast path returns the input reference when untouched") {
+    val e = NormalizeText(null, stripAccents = true, lowercase = true)
+    val lower = UTF8String.fromString("already lower ascii 123")
+    assert(e.compute(lower) eq lower)
+    val upper = UTF8String.fromString("Has Upper")
+    val out = e.compute(upper)
+    assert(!(out eq upper) && out.toString == "has upper")
+    // lowercase=false never copies ASCII at all
+    val keep = NormalizeText(null, stripAccents = true, lowercase = false)
+    assert(keep.compute(upper) eq upper)
+  }
+
+  test("codegen projection agrees with direct compute and handles nulls") {
+    import spark.implicits._
+    val rows = Seq("Mühleisen ΣΟΦΟΣ", "कार", "UPPER", null, "ﬁ 한국어")
+    val df = rows.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+      .repartition(3)
+    val got = df.select(col("id"), NormalizeText.col(col("s")).as("n"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    for ((s, i) <- rows.zipWithIndex)
+      assert(got(i.toLong) == (if (s == null) null else full(s)), s"row $i")
+  }
+
+  test("flag combinations: strip-only keeps case, lower-only keeps marks") {
+    val stripOnly = NormalizeText(null, stripAccents = true, lowercase = false)
+      .compute(UTF8String.fromString("Müh ΣΟΦΟΣ")).toString
+    assert(stripOnly == "Muh ΣΟΦΟΣ")
+    val lowerOnly = NormalizeText(null, stripAccents = false, lowercase = true)
+      .compute(UTF8String.fromString("Müh ΣΟΦΟΣ")).toString
+    assert(lowerOnly == "müh σοφοσ")
+  }
+}

@@ -64,6 +64,38 @@ class RelationalSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
   }
 
+  test("salted join: salt reaches the shuffle keys, result equals the plain join") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Relational, Skew}
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle path
+    try {
+      val joined = Relational.saltedLineitemOrders(spark, dir)
+      val plan = joined.queryExecution.executedPlan.toString
+      // the join's equi-keys must include the salt columns — that widened
+      // key IS the mechanism that spreads a hot orderkey over S tasks
+      assert(plan.contains("_salt_b"),
+        s"salt column did not reach the physical join keys:\n$plan")
+      // value equality vs the unsalted join, on a skewed input: one hot
+      // order with 500 lines among uniform ones
+      import spark.implicits._
+      val hot = (1L to 500L).map(i => (42L, i)) ++ (1L to 500L).map(i => (i + 100L, 1L))
+      val big = hot.toDF("k", "line")
+      val small = (1L to 700L).map(i => (i, s"o$i")).toDF("ok", "name")
+      val saltedRows = Skew.saltedJoin(big, small, big("k"), small("ok"), 8,
+          big("k"), big("line"))
+        .select("k", "line", "name").collect().map(_.toString).sorted.toSeq
+      val plainRows = big.join(small, big("k") === small("ok"))
+        .select("k", "line", "name").collect().map(_.toString).sorted.toSeq
+      assert(saltedRows == plainRows && saltedRows.size == 1000)
+      // the hot key's rows really carry multiple distinct salts
+      val saltSpread = big.filter(col("k") === 42L)
+        .withColumn("_s", pmod(xxhash64(col("k"), col("line")), lit(8L)))
+        .select("_s").distinct().count()
+      assert(saltSpread == 8L, s"hot key spread over only $saltSpread salts")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+  }
+
   test("q59 scan prunes lang partitions at planning time") {
     import graft.operators.PipelineQueries
     val df = PipelineQueries.prunedLangScan(spark, dir)

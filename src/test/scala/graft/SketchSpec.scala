@@ -1,0 +1,67 @@
+package graft
+
+import graft.core.GraftSession
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ground truth for the q65 sketch family: error bounds vs the exact twins
+  * and merge-order determinism — the properties a rows-only query needs a
+  * spec to carry.
+  */
+class SketchSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4, "sketch-spec")
+
+  test("HLL++ distinct is within rsd bound of exact on a 50k-value set") {
+    import spark.implicits._
+    // 50k keys with duplicates: true distinct = 20k
+    val df = (0 until 50000).map(i => s"v${i % 20000}").toDF("v")
+    val r = df.agg(
+      countDistinct(col("v")).as("exact"),
+      approx_count_distinct(col("v"), 0.02).as("approx")).head()
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(exact == 20000L)
+    val rel = math.abs(approx - exact) / exact.toDouble
+    assert(rel < 0.06, s"approx=$approx rel=$rel (rsd=0.02, 3σ bound)")
+  }
+
+  test("approx percentile has bounded rank error vs the exact element") {
+    import spark.implicits._
+    val n = 100000
+    val df = (1 to n).map(_.toLong).toDF("x")
+    val r = df.agg(
+      percentile_approx(col("x"), lit(0.5), lit(1000)).as("p")).head()
+    val p = r.getLong(0)
+    // GK guarantee: rank error <= n / accuracy = 100 ranks
+    assert(math.abs(p - n / 2) <= 100L, s"p50=$p")
+  }
+
+  test("sketch aggregates are deterministic across partitionings") {
+    import spark.implicits._
+    val df = (0 until 30000).map(i => (s"s${i % 3}", s"v${i % 9000}", (i % 997).toLong))
+      .toDF("g", "v", "x")
+    def run(parts: Int) = df.repartition(parts).groupBy("g").agg(
+        approx_count_distinct(col("v"), 0.02).as("ad"),
+        percentile_approx(col("x"), lit(0.5), lit(10000)).as("ap"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(run(2) == run(17), "sketch results depend on partitioning")
+  }
+
+  test("q65 rows carry self-consistent exact/approx pairs on the corpus") {
+    val rows = graft.operators.PipelineQueries.q65Sketches(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getLong(2); val approx = r.getLong(3)
+      // tiny strata (tens of docs): a ±2-count wobble is a large RELATIVE
+      // error, so bound by max(absolute 3, relative 6%)
+      assert(math.abs(approx - exact) <= math.max(3L, (0.06 * exact).toLong),
+        s"source=${r.getString(0)}: approx=$approx exact=$exact")
+      val exactP = r.getDouble(4); val approxP = r.getLong(5).toDouble
+      // corpus strata are small (tens of docs): the summary is exact there
+      // up to the interpolation difference between the two definitions
+      assert(math.abs(approxP - exactP) / math.max(exactP, 1.0) < 0.25,
+        s"source=${r.getString(0)}: p50 approx=$approxP exact=$exactP")
+    }
+  }
+}
