@@ -83,6 +83,9 @@ object SparkEntry {
     // sketch family: rows-only by nature (approximate impls differ across
     // engines); each row carries its exact twin, ScalaTest bounds the error
     "q65_sketches"        -> (PipelineQueries.q65Sketches _),
+    "q66_range_join"      -> (RangeQueries.q66RangeJoin _),
+    "q67_asof_join"       -> (RangeQueries.q67AsofJoin _),
+    "q68_winnow_sha"      -> (PipelineQueries.q68WinnowSha _),
     // flagship pipeline (not SQL-expressible: broadcast-model stages) —
     // driver records rows-only checks for these two.
     "q30_quality_filter"  -> (DocumentsAdapter.qualityFilterQuery _),
@@ -174,6 +177,16 @@ object SparkEntry {
     // skew-salted join: result multiset is provably the unsalted join's,
     // so the plain-join oracle value-checks the salting rewrite
     "q64_salted_join"     -> RelationalSql.q05JoinShuffle,
+    // point-in-interval join, declared non-equi; the optimizer rule
+    // rewrites it to a bucketed equi-join and the plain inequality-join
+    // twin value-checks the rewrite (bin-width-invariant result)
+    "q66_range_join"      -> RangeSql.q66RangeJoin,
+    // backward as-of join (union-marker window form) vs the argmax twin;
+    // tie-break and left-outer nulls mirrored exactly
+    "q67_asof_join"       -> RangeSql.q67AsofJoin,
+    // content-defined k-gram sampling with a portable sha256 hash — the
+    // fingerprint family's value gate
+    "q68_winnow_sha"      -> PipelineSql.q68WinnowSha,
     // (q55_simhash_pairs stays rows-only: simhash signatures aren't
     // DuckDB-expressible; spec-gated like q22)
   )

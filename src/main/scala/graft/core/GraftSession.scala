@@ -15,6 +15,10 @@ object GraftSession {
   /** Apply engine defaults onto an arbitrary builder. */
   def tuned(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
     b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      // engine Catalyst extensions (range-join bucketing rewrite) — the
+      // classname config path is the same one spark-submit uses on a real
+      // cluster (--conf spark.sql.extensions=graft.plans.GraftExtensions)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // permissive arithmetic (div-by-zero → null, casts don't throw): the
       // reference's pandas semantics; rows with null derived metrics drop
       // out of the derived series instead of failing the job

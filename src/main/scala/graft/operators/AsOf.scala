@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — for each left row, the most recent right row with
+  * `right.ts <= left.ts` within the same key group (the time-series join
+  * every feature/training pipeline needs: "state as of this event").
+  *
+  * Spark has no asof join operator; the naive encoding
+  * (`l JOIN r ON key AND r.ts <= l.ts` + argmax) is a per-key quadratic
+  * blow-up — a user with m right rows contributes O(m) join rows PER left
+  * row before the argmax prunes them. This implementation is the scalable
+  * union-marker form:
+  *
+  *   1. union both sides into one relation tagged `__side` (right=0,
+  *      left=1), right payload packed into ONE struct column;
+  *   2. one window over (key) ordered by (ts, side, payload): a running
+  *      `last(__r, ignoreNulls)` carries the latest right payload seen so
+  *      far — right rows sort BEFORE left rows at equal ts, so the match
+  *      is inclusive;
+  *   3. keep left rows, unpack the carried struct.
+  *
+  * Cost: ONE shuffle of |L|+|R| rows on the key + a linear window scan —
+  * no join blow-up, no argmax, skew bounded by the biggest single key
+  * group. Packing the payload as a struct (not per-column last()) is what
+  * makes the match row-consistent: independent per-column ignoreNulls
+  * lasts could mix fields from different right rows when payload fields
+  * are legitimately null.
+  *
+  * Ties: equal (key, ts) right rows resolve to the struct-max payload
+  * (lexicographic by field order) — callers put a unique id late in
+  * `payload` for a deterministic winner. Left rows with no prior right
+  * row carry a null struct (left-outer semantics).
+  */
+object AsOf {
+
+  /** @param left     point-query side (one output row per left row)
+    * @param right    state side, matched backward in time
+    * @param by       equality key columns (both sides)
+    * @param ts       event-time column name (both sides, orderable)
+    * @param payload  right columns to carry (must include any tie-break id
+    *                 LAST; `ts` may be included to expose the matched time)
+    */
+  def backward(left: DataFrame, right: DataFrame, by: Seq[String], ts: String,
+      payload: Seq[String]): DataFrame = {
+    val keyCols = by.map(col)
+    val l2 = left.select(
+      keyCols ++ Seq(
+        col(ts).as("__ts"),
+        lit(1).as("__side"),
+        struct(left.columns.map(col).toIndexedSeq: _*).as("__l"),
+        lit(null).cast(right.select(payload.map(col): _*).schema).as("__r")): _*)
+    val r2 = right.select(
+      keyCols ++ Seq(
+        col(ts).as("__ts"),
+        lit(0).as("__side"),
+        lit(null).cast(left.schema).as("__l"),
+        struct(payload.map(col).toIndexedSeq: _*).as("__r")): _*)
+    val w = Window.partitionBy(keyCols: _*)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__r").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l2.unionByName(r2)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__l.*") +: payload.map(p => col("__match." + p).as("asof_" + p)): _*)
+  }
+}

@@ -383,6 +383,19 @@ object PipelineQueries {
     TextAnalysis.fingerprints(Tables.spread(Tables.documents(s, dir)), "doc_id", "text")
       .orderBy("doc_id")
 
+  /** q68: the fingerprint family's value gate — winnowing-style
+    * content-defined k-gram sampling with sha256 as the (portable) hash
+    * ([[TextAnalysis.shaKgramFingerprints]]): every selection decision the
+    * rolling-hash path makes by `h % sample == 0` is made here by a hex
+    * digest prefix, which DuckDB replays exactly (sha256 + substr +
+    * list_min), so k-gram extraction, sampling, and min-selection are all
+    * rows+schema+hash-checked (q32's 2^61-1 polynomial hash itself stays
+    * spec-gated — not expressible in SQL).
+    */
+  def q68WinnowSha(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.shaKgramFingerprints(Tables.spread(Tables.documents(s, dir)), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Media table size tracks the SF dir (4 media rows per document row —
     * parquet-metadata count, no scan), so q33/q35 timings scale with the
     * benchmark's data size like every other query; content stays synthetic
@@ -509,6 +522,21 @@ object PipelineSql {
 
   val q49JaccardCapped: String =
     ngramJaccardSqlFrom("(SELECT * FROM documents WHERE doc_id % 2 = 0)")
+
+  /** q68 oracle: the identical k-gram extraction + hex-prefix sample +
+    * min-digest selection in DuckDB list functions. `generate_series(1, n)`
+    * with n < 1 yields an empty list (the Spark side guards the same case
+    * explicitly — its `sequence` DESCENDS on inverted bounds).
+    */
+  val q68WinnowSha: String =
+    """SELECT doc_id,
+      |  list_min(list_filter(list_transform(generate_series(1, len(text) - 7),
+      |    i -> sha256(substr(text, i, 8))),
+      |    h -> substr(h, 1, 1) = '0' OR substr(h, 1, 1) = '1')) AS fp_min,
+      |  len(list_filter(list_transform(generate_series(1, len(text) - 7),
+      |    i -> sha256(substr(text, i, 8))),
+      |    h -> substr(h, 1, 1) = '0' OR substr(h, 1, 1) = '1')) AS n_sampled
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   /** q53 oracle: identical PII injection (keep in lockstep with
     * [[PipelineQueries.q53ScrubExact]]'s CASE arms), then the scrub chain

@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.core.Exact
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Temporal/interval join operators: the bucketed range join (driven by the
+  * [[graft.plans.RangeJoinRewrite]] optimizer rule) and the backward as-of
+  * join ([[AsOf]]). Both are value-gated against plain-SQL DuckDB twins.
+  */
+object RangeQueries {
+
+  /** q66: point-in-interval range join — events.value against 49
+    * overlapping value bands — written as the DECLARATIVE non-equi join
+    * (`value BETWEEN lo AND hi`). Without the engine's rewrite rule Spark
+    * plans this as BroadcastNestedLoopJoin (O(|events|·|bands|) — the
+    * 100 TB cliff); with `spark.graft.rangeJoin.bin` set the optimizer
+    * rewrites it into an exploded-interval bucketed equi-join (see
+    * [[graft.plans.RangeJoinRewrite]]). The result is bin-width-invariant,
+    * so the plain inequality-join DuckDB twin value-checks the rewrite,
+    * and the plan spec asserts the nested-loop operator is gone.
+    */
+  def q66RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set(graft.plans.RangeJoinRewrite.BinConfKey, "8.0")
+    val ev = Tables.events(s, dir)
+    val iv = s.range(0, 49).select(
+      col("id").as("iv_id"),
+      (col("id") * lit(10.0)).as("lo"),
+      (col("id") * lit(10.0) + lit(12.5)).as("hi"))
+    ev.join(iv, col("value") >= col("lo") && col("value") <= col("hi"))
+      .groupBy(col("iv_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        round(Exact.dsum(col("value"), 4), 4).as("sum_v"))
+      .orderBy("iv_id")
+  }
+
+  /** The bare range join (no agg), shared with the plan-shape spec. */
+  private[graft] def rangeJoinPlan(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val iv = s.range(0, 49).select(
+      col("id").as("iv_id"),
+      (col("id") * lit(10.0)).as("lo"),
+      (col("id") * lit(10.0) + lit(12.5)).as("hi"))
+    ev.join(iv, col("value") >= col("lo") && col("value") <= col("hi"))
+  }
+
+  /** q67: backward as-of join — each purchase matched to the user's most
+    * recent click at-or-before it ([[AsOf.backward]]: one shuffle on
+    * user_id + a linear window scan; no per-key quadratic join). Tie
+    * resolution (equal click ts → max event_id) is mirrored by the oracle's
+    * `ORDER BY c.ts DESC, c.event_id DESC` argmax; purchases with no prior
+    * click keep null match columns (left-outer semantics). Gap emitted in
+    * exact integer microseconds on both engines (unix_micros / epoch_us).
+    */
+  def q67AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+    AsOf.backward(purchases, clicks, by = Seq("user_id"), ts = "ts",
+        payload = Seq("ts", "event_id"))
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("asof_event_id").as("c_id"),
+        // events.ts is TIMESTAMP_NTZ; the cast is exact under the engine's
+        // fixed UTC session timezone
+        (unix_micros(col("ts").cast("timestamp")) -
+          unix_micros(col("asof_ts").cast("timestamp"))).as("gap_us"))
+      .orderBy("p_id")
+  }
+}
+
+object RangeSql {
+  val q66RangeJoin: String =
+    """SELECT iv_id, COUNT(*) AS n_ev,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 4) AS sum_v
+      |FROM events
+      |JOIN (SELECT range AS iv_id, range*10.0 AS lo, range*10.0+12.5 AS hi
+      |      FROM range(0, 49)) iv
+      |  ON value >= lo AND value <= hi
+      |GROUP BY iv_id ORDER BY iv_id""".stripMargin
+
+  val q67AsofJoin: String =
+    """SELECT p_id, user_id, c_id, gap_us FROM (
+      |  SELECT p.event_id AS p_id, p.user_id AS user_id, c.event_id AS c_id,
+      |    epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+      |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+      |                       ORDER BY c.ts DESC, c.event_id DESC) AS rn
+      |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |    ON c.user_id = p.user_id AND c.ts <= p.ts
+      |) WHERE rn = 1 ORDER BY p_id""".stripMargin
+}

@@ -1,0 +1,153 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/** Catalyst optimizer rule: rewrite point-in-interval range joins into
+  * bucketed equi-joins.
+  *
+  * Spark plans a join whose only condition is `p.x BETWEEN i.lo AND i.hi`
+  * as BroadcastNestedLoopJoin (or a cartesian product) — O(|P|·|I|) work
+  * that is the canonical 100 TB cliff: a billion points against a million
+  * intervals never finishes. The standard fix (Databricks range-join hint,
+  * Flink interval join, GeoSpark partition joins) is binning: pick a bin
+  * width W, tag each point with `floor(x/W)`, explode each interval to
+  * every bin it overlaps, equi-join on the bin, and re-apply the original
+  * predicate as the residual filter. The rewrite is semantics-preserving
+  * for ANY W — `lo ≤ x ≤ hi` implies `floor(x/W) ∈ [floor(lo/W),
+  * floor(hi/W)]` (completeness) and the residual keeps exactness — W only
+  * tunes the interval blow-up factor vs bucket selectivity.
+  *
+  * Doing this as a `Rule[LogicalPlan]` (not a DataFrame helper) means ANY
+  * query — `spark.sql` or DataFrame — gets the rewrite with no API change:
+  * the declarative plan states the range predicate, the optimizer picks
+  * the scalable physical shape, which is the Spark-first contract this
+  * engine is built on. Registered via [[GraftExtensions]]
+  * (`spark.sql.extensions=graft.plans.GraftExtensions`, production path
+  * for spark-submit) and injected into the operator-optimization batch, so
+  * the introduced Project/Generate/Join nodes are themselves optimized
+  * (pruned, pushed, AQE-planned) by the rules that follow.
+  *
+  * Activation: `spark.graft.rangeJoin.bin` (positive double bin width);
+  * unset → the rule is a no-op. Eligibility: INNER join, deterministic
+  * condition, NO equi-conjunct across the two sides (Spark already
+  * hash-joins those), and a `lo ≤/< x` + `x ≤/< hi` conjunct pair where
+  * `x` is a numeric/timestamp expression from one side and both bounds
+  * come from the other. The rewritten join carries an equi-conjunct, so
+  * the rule cannot re-fire on its own output (fixed-point safe).
+  *
+  * Null/degenerate semantics match the original join: a null point, null
+  * bound, or inverted interval (`lo > hi`) produced no match before (3VL
+  * comparison → not true) and produces no bins/no bucket match after.
+  */
+object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  val BinConfKey = "spark.graft.rangeJoin.bin"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val bin = try conf.getConfString(BinConfKey, "").toDouble catch { case _: Exception => 0.0 }
+    if (!(bin > 0 && bin.isFinite)) plan
+    else plan.transformUp {
+      case j @ Join(_, _, Inner, Some(cond), _) if cond.deterministic =>
+        matchRangePair(j, cond).map(rewrite(j, _, bin)).getOrElse(j)
+    }
+  }
+
+  /** The matched shape: point expr on one side, lower+upper bound exprs on
+    * the other, plus every conjunct of the original condition (re-applied
+    * as the residual, so strictness (`<` vs `≤`) and extra predicates are
+    * preserved verbatim).
+    */
+  private case class RangePair(point: Expression, lo: Expression, hi: Expression,
+      pointOnLeft: Boolean)
+
+  /** Orderable-and-binnable types: the bin key is floor(cast(e, double)/W),
+    * so anything that casts to a meaningful double qualifies. Timestamps
+    * cast to fractional epoch seconds (ANSI-off semantics).
+    */
+  private def binnable(e: Expression): Boolean = e.dataType match {
+    case _: NumericType | _: TimestampType | _: DateType => true
+    case _ => false
+  }
+
+  private def matchRangePair(j: Join, cond: Expression): Option[RangePair] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    def side(e: Expression): Option[Boolean] = // Some(true)=left, Some(false)=right
+      if (e.references.isEmpty) None
+      else if (e.references.subsetOf(j.left.outputSet)) Some(true)
+      else if (e.references.subsetOf(j.right.outputSet)) Some(false)
+      else None
+    // Spark already plans an equi-join for these — nothing to fix.
+    val hasEqui = conjuncts.exists {
+      case EqualTo(a, b) => side(a).isDefined && side(b).isDefined && side(a) != side(b)
+      case EqualNullSafe(a, b) => side(a).isDefined && side(b).isDefined && side(a) != side(b)
+      case _ => false
+    }
+    if (hasEqui) return None
+    // normalize each comparison to (point, bound, pointSide, isLower)
+    val bounds = conjuncts.flatMap {
+      case GreaterThanOrEqual(a, b) => Seq((a, b, true), (b, a, false))
+      case GreaterThan(a, b)        => Seq((a, b, true), (b, a, false))
+      case LessThanOrEqual(a, b)    => Seq((a, b, false), (b, a, true))
+      case LessThan(a, b)           => Seq((a, b, false), (b, a, true))
+      case _ => Nil
+    }.flatMap { case (p, bound, isLower) =>
+      (side(p), side(bound)) match {
+        case (Some(ps), Some(bs)) if ps != bs && binnable(p) && binnable(bound) =>
+          Some(RangePair(p, if (isLower) bound else null, if (isLower) null else bound, ps))
+        case _ => None
+      }
+    }
+    val los = bounds.filter(_.lo != null)
+    val his = bounds.filter(_.hi != null)
+    (for {
+      l <- los
+      h <- his
+      if l.point.semanticEquals(h.point) && l.pointOnLeft == h.pointOnLeft
+    } yield RangePair(l.point, l.lo, h.hi, l.pointOnLeft)).headOption
+  }
+
+  private def rewrite(j: Join, rp: RangePair, bin: Double): LogicalPlan = {
+    def binOf(e: Expression): Expression =
+      Floor(new Divide(Cast(e, DoubleType, Some(conf.sessionLocalTimeZone)), Literal(bin)))
+
+    val (pointPlan, boundPlan) = if (rp.pointOnLeft) (j.left, j.right) else (j.right, j.left)
+
+    // point side: original columns + its bin key
+    val pointBin = Alias(binOf(rp.point), "__graft_bin")()
+    val pointProj = Project(pointPlan.output :+ pointBin, pointPlan)
+
+    // interval side: explode to one row per overlapped bin. Sequence with
+    // step 1 THROWS on inverted boundaries, so guard lo ≤ hi (an inverted
+    // or null-bounded interval matches nothing in the original join).
+    val loBin = binOf(rp.lo)
+    val hiBin = binOf(rp.hi)
+    val seqType = ArrayType(LongType, containsNull = false)
+    val bins = If(
+      And(And(IsNotNull(loBin), IsNotNull(hiBin)), LessThanOrEqual(loBin, hiBin)),
+      // timeZoneId must be supplied here: Sequence is TimeZoneAware and the
+      // analyzer's ResolveTimeZone has already run by optimization time —
+      // leaving it None makes the generated plan "become unresolved"
+      Sequence(loBin, hiBin, Some(Literal(1L)), Some(conf.sessionLocalTimeZone)),
+      Literal.create(null, seqType))
+    val binsAttr = AttributeReference("__graft_bins", LongType, nullable = false)()
+    val gen = Generate(Explode(bins), unrequiredChildIndex = Nil, outer = false,
+      qualifier = None, generatorOutput = Seq(binsAttr), child = boundPlan)
+
+    val equi = EqualTo(pointBin.toAttribute, binsAttr)
+    val (newLeft, newRight) = if (rp.pointOnLeft) (pointProj, gen) else (gen, pointProj)
+    val newJoin = Join(newLeft, newRight, Inner,
+      Some(And(equi, j.condition.get)), j.hint)
+    Project(j.output, newJoin)
+  }
+}
+
+/** Engine extensions entry point — `spark.sql.extensions=graft.plans.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(_ => RangeJoinRewrite)
+}

@@ -82,6 +82,31 @@ object TextAnalysis {
     h
   }
 
+  /** Winnowing-style content-defined sampling with a PORTABLE hash: each
+    * char k-gram is sha256-hashed, the k-grams whose hex digest starts
+    * with '0' or '1' (a deterministic 1/8 content-defined sample — same
+    * principle as the `h % sample == 0` rule in [[fingerprint]]) are
+    * selected, and the document reports the minimum sampled digest plus
+    * the sample count. Pure codegen'd column expressions (sequence →
+    * transform → filter → array_min/size, no UDF, no explode — one row
+    * stays one row, so there is no shuffle at all); sha256 makes every
+    * selection decision replayable in DuckDB, which is what upgrades the
+    * fingerprint family from rows-only to a value-exact gate (q68).
+    */
+  def shaKgramFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val t = col(textCol)
+    val grams = when(length(t) >= k,
+      filter(
+        transform(sequence(lit(1), length(t) - lit(k - 1)),
+          i => sha2(t.substr(i, lit(k)), 256)),
+        h => substring(h, 1, 1).isin("0", "1")))
+      .otherwise(array().cast("array<string>"))
+    df.withColumn("__g", grams)
+      .select(col(idCol), array_min(col("__g")).as("fp_min"),
+        size(col("__g")).cast("long").as("n_sampled"))
+  }
+
   /** (id, fp) via typed mapPartitions. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession

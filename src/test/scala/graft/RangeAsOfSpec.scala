@@ -1,0 +1,167 @@
+package graft
+
+import graft.core.GraftSession
+import graft.operators.{AsOf, RangeQueries}
+import graft.plans.RangeJoinRewrite
+import graft.text.TextAnalysis
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates for the range-join rewrite rule, the backward as-of join, and the
+  * sha-k-gram fingerprint: plan-shape assertions (the rewrite must actually
+  * remove the nested-loop join) plus sequential ground-truth oracles.
+  */
+class RangeAsOfSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.local(4, "range-asof-spec")
+
+  private def withBin[T](bin: Option[String])(f: => T): T = {
+    val prev = spark.conf.getOption(RangeJoinRewrite.BinConfKey)
+    bin match {
+      case Some(b) => spark.conf.set(RangeJoinRewrite.BinConfKey, b)
+      case None => spark.conf.unset(RangeJoinRewrite.BinConfKey)
+    }
+    try f
+    finally {
+      spark.conf.unset(RangeJoinRewrite.BinConfKey)
+      prev.foreach(spark.conf.set(RangeJoinRewrite.BinConfKey, _))
+    }
+  }
+
+  test("range-join rewrite replaces the nested-loop join and preserves results") {
+    val off = withBin(None) {
+      val df = RangeQueries.rangeJoinPlan(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin"),
+        s"expected the un-rewritten plan to be a nested-loop join:\n$plan")
+      df.collect().map(_.toSeq).toSeq
+    }
+    val on = withBin(Some("8.0")) {
+      val df = RangeQueries.rangeJoinPlan(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"rewrite did not remove the nested-loop join:\n$plan")
+      assert(plan.contains("__graft_bin"), "rewrite markers missing from plan")
+      df.collect().map(_.toSeq).toSeq
+    }
+    assert(on.groupBy(identity).view.mapValues(_.size).toMap ==
+      off.groupBy(identity).view.mapValues(_.size).toMap,
+      "rewritten join changed the result multiset")
+  }
+
+  test("range-join rewrite is bin-width invariant") {
+    val results = Seq("0.5", "8.0", "1000.0").map { b =>
+      withBin(Some(b))(RangeQueries.q66RangeJoin(spark, dir).collect().map(_.toSeq).toSeq)
+    }
+    assert(results.distinct.size == 1, "bin width changed the result")
+  }
+
+  test("rewrite handles strict bounds, nulls, inverted intervals, point on right") {
+    import spark.implicits._
+    val points = Seq((1L, Some(1.0)), (2L, Some(5.0)), (3L, Some(7.5)), (4L, None),
+      (5L, Some(-3.0)), (6L, Some(100.0)), (7L, Some(5.0))).toDF("p_id", "x")
+    val intervals = Seq(
+      (10L, Some(0.0), Some(6.0)),    // normal
+      (11L, Some(5.0), Some(5.0)),    // degenerate single point, strict bounds exclude
+      (12L, Some(8.0), Some(2.0)),    // inverted — matches nothing
+      (13L, None, Some(4.0)),         // null lo — matches nothing
+      (14L, Some(4.0), None),         // null hi — matches nothing
+      (15L, Some(-10.0), Some(200.0)) // wide
+    ).toDF("iv_id", "lo", "hi")
+    // point side is the RIGHT child here; strict lower, inclusive upper
+    val cond = col("x") > col("lo") && col("x") <= col("hi")
+    val off = withBin(None)(
+      intervals.join(points, cond).collect().map(_.toSeq).toSeq)
+    val on = withBin(Some("3.0")) {
+      val df = intervals.join(points, cond)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"not rewritten:\n$plan")
+      df.collect().map(_.toSeq).toSeq
+    }
+    assert(on.groupBy(identity).view.mapValues(_.size).toMap ==
+      off.groupBy(identity).view.mapValues(_.size).toMap)
+    // sanity vs hand-computed: strict > excludes iv 11 at x=5; nulls drop
+    assert(off.count(r => r.head == 15L) == 6) // all non-null points in wide band
+  }
+
+  test("rewrite leaves equi-joins alone") {
+    import spark.implicits._
+    val a = Seq((1L, 2.0), (2L, 9.0)).toDF("k", "x")
+    val b = Seq((1L, 0.0, 5.0), (2L, 0.0, 5.0)).toDF("k2", "lo", "hi")
+    withBin(Some("2.0")) {
+      val df = a.join(b, col("k") === col("k2") && col("x") >= col("lo") && col("x") <= col("hi"))
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(!opt.contains("__graft_bin"), s"rule fired on an equi-join:\n$opt")
+      assert(df.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    }
+  }
+
+  test("as-of backward join matches a sequential argmax oracle (ties, no-match)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260817L)
+    val leftRows = (0 until 300).map(i =>
+      (i.toLong, (rng.nextInt(10)).toLong, rng.nextInt(1000).toLong))
+    val rightRows = (0 until 300).map(i =>
+      (1000L + i, (rng.nextInt(10)).toLong, rng.nextInt(1000).toLong))
+    // integer "timestamps" exercise equal-ts ties heavily (1000 slots, 300 rows)
+    val left = leftRows.toDF("event_id", "user_id", "t")
+    val right = rightRows.toDF("event_id", "user_id", "t")
+
+    val got = AsOf.backward(left, right, by = Seq("user_id"), ts = "t",
+        payload = Seq("t", "event_id"))
+      .select(col("event_id"), col("asof_event_id"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+    val oracle = leftRows.map { case (id, u, t) =>
+      val cands = rightRows.filter(r => r._2 == u && r._3 <= t)
+      // max (ts, event_id): the struct-max tie-break the operator documents
+      id -> (if (cands.isEmpty) -1L else cands.maxBy(c => (c._3, c._1))._1)
+    }.toMap
+    assert(got == oracle)
+    assert(oracle.valuesIterator.contains(-1L), "test corpus should include no-match rows")
+  }
+
+  test("as-of struct payload carries fields from ONE matched row") {
+    import spark.implicits._
+    // two right rows at the same ts where independent per-column last() would
+    // mix fields: (ts=5, a=null, b=1) and (ts=5, a=2, b=null); struct-max
+    // tie-break picks the (2, null) row atomically
+    val left = Seq((1L, 1L, 10L)).toDF("event_id", "user_id", "t")
+    val right = Seq(
+      (100L, 1L, 5L, Option.empty[Long], Some(1L)),
+      (200L, 1L, 5L, Some(2L), Option.empty[Long])
+    ).toDF("event_id", "user_id", "t", "a", "b")
+    val r = AsOf.backward(left, right, Seq("user_id"), "t",
+      payload = Seq("t", "event_id", "a", "b")).collect()(0)
+    assert(r.getAs[Long]("asof_event_id") == 200L)
+    assert(r.getAs[Any]("asof_a") == 2L && r.isNullAt(r.fieldIndex("asof_b")),
+      "payload fields mixed across right rows — struct packing broken")
+  }
+
+  test("sha-k-gram fingerprint matches a sequential oracle incl. short/empty texts") {
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def sha(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def oracle(text: String, k: Int = 8): (Option[String], Long) = {
+      if (text.length < k) (None, 0L)
+      else {
+        val sampled = (0 to text.length - k).map(i => sha(text.substring(i, i + k)))
+          .filter(h => h.startsWith("0") || h.startsWith("1"))
+        (if (sampled.isEmpty) None else Some(sampled.min), sampled.size.toLong)
+      }
+    }
+    val texts = Seq("", "short", "exactly8", "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaaaaaaaaaa") ++
+      spark.read.parquet(s"$dir/documents.parquet").select("text")
+        .limit(20).collect().map(_.getString(0)).toSeq
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextAnalysis.shaKgramFingerprints(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2))).toSeq
+    val exp = texts.zipWithIndex.map { case (t, i) =>
+      val (fp, n) = oracle(t); (i.toLong, fp, n)
+    }
+    assert(got.sortBy(_._1) == exp.sortBy(_._1))
+  }
+}
