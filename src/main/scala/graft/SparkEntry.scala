@@ -86,6 +86,7 @@ object SparkEntry {
     "q66_range_join"      -> (RangeQueries.q66RangeJoin _),
     "q67_asof_join"       -> (RangeQueries.q67AsofJoin _),
     "q68_winnow_sha"      -> (PipelineQueries.q68WinnowSha _),
+    "q69_topk_phys"       -> (Relational.q69TopKPhysical _),
     // flagship pipeline (not SQL-expressible: broadcast-model stages) —
     // driver records rows-only checks for these two.
     "q30_quality_filter"  -> (DocumentsAdapter.qualityFilterQuery _),
@@ -187,6 +188,9 @@ object SparkEntry {
     // content-defined k-gram sampling with a portable sha256 hash — the
     // fingerprint family's value gate
     "q68_winnow_sha"      -> PipelineSql.q68WinnowSha,
+    // the custom two-phase TopKPerKey physical operator produces exactly
+    // the window top-k rows under the same total order — q17's oracle
+    "q69_topk_phys"       -> RelationalSql.q17TopK,
     // (q55_simhash_pairs stays rows-only: simhash signatures aren't
     // DuckDB-expressible; spec-gated like q22)
   )

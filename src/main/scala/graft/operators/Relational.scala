@@ -231,6 +231,27 @@ object Relational {
       .orderBy("o_orderpriority", "rk")
   }
 
+  /** O-family twin of [[q17TopK]] through the CUSTOM physical operator
+    * ([[graft.plans.TopKPerKey]], planned by the injected TopKStrategy):
+    * per-key bounded heaps prune to ≤5 rows per priority per input
+    * partition BEFORE the exchange, so the shuffle carries winners, not
+    * the table — where q17's window plan shuffles and sorts every order
+    * row. The trailing row_number runs over the ≤ 25 surviving rows only
+    * (rank presentation, not ranking work). Same deterministic total
+    * order (price desc, orderkey asc) → q17's oracle value-checks the
+    * operator row-for-row.
+    */
+  def q69TopKPhysical(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val top = graft.plans.TopK.perKey(o, keys = Seq("o_orderpriority"),
+      order = Seq(("o_totalprice", true), ("o_orderkey", false)), k = 5)
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    top.withColumn("rk", row_number().over(w))
+      .select(col("o_orderpriority"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderpriority", "rk")
+  }
+
   /** W5-adjacent pivot shape (outlierFinders.py:96-120 source alignment):
     * conditional aggregation by event_type per month — expressed as
     * CASE-WHEN aggregates so the oracle SQL is portable.

@@ -148,6 +148,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
 /** Engine extensions entry point — `spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RangeJoinRewrite)
+    e.injectPlannerStrategy(_ => TopKStrategy)
+  }
 }

@@ -1,0 +1,145 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BaseOrdering, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graftbridge.PlanBridge
+
+/** Per-key top-k as a WHOLE-OPERATOR Catalyst extension — logical node +
+  * planner [[SparkStrategy]] + two-phase physical operator, registered via
+  * `SparkSessionExtensions.injectPlannerStrategy` ([[GraftExtensions]]).
+  *
+  * Why not window `row_number() <= k` (q17's shape)? The window plan
+  * shuffles EVERY row to its key's reducer and SORTS the full group before
+  * discarding all but k — at 100 TB, that is a full-data shuffle + sort to
+  * keep a sliver. This operator is the aggregation-shaped alternative
+  * Spark lacks:
+  *
+  *   partial phase (map side): one bounded heap of size k per key per
+  *     input partition — every partition forwards AT MOST k rows per key;
+  *   exchange: hash partition by key — the shuffle now carries
+  *     ≤ k·|keys|·|partitions| rows instead of |input| rows;
+  *   final phase (reduce side): the same bounded-heap pass merges the
+  *     partial winners into the exact global top-k per key.
+  *
+  * This is the same partial/final contract as HashAggregateExec, with the
+  * heap as the (non-decomposable-into-builtin-aggregates) merge state: the
+  * result is EXACTLY the window plan's rows whenever `order` is a total
+  * order (callers append a unique tie-break column, as q17 does with
+  * o_orderkey). Memory is bounded by k·|distinct keys in partition| rows —
+  * the hash-aggregate shape; a production build would add spilling
+  * exactly as HashAggregate does.
+  *
+  * The planner strategy (not an optimizer rewrite) is the right extension
+  * point here because top-k-per-key is a new EXECUTION contract, not a
+  * plan-shape improvement: the logical node states the semantics, the
+  * strategy picks the two-phase physical form, and EnsureRequirements
+  * inserts the key exchange demanded by the final phase's
+  * requiredChildDistribution — the engine never schedules its own shuffle.
+  */
+case class TopKPerKey(keyExprs: Seq[Expression], order: Seq[SortOrder], k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"top-k needs k > 0, got $k")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
+    copy(child = newChild)
+}
+
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(keys, order, k, child) =>
+      val partial = TopKPerKeyExec(keys, order, k, partial = true, planLater(child))
+      TopKPerKeyExec(keys, order, k, partial = false, partial) :: Nil
+    case _ => Nil
+  }
+}
+
+/** One bounded-heap pass: `partial = true` runs on whatever partitioning
+  * the child has (map side); `partial = false` demands clustering by key,
+  * which makes EnsureRequirements insert the hash exchange between the two
+  * phases.
+  */
+case class TopKPerKeyExec(keyExprs: Seq[Expression], order: Seq[SortOrder], k: Int,
+    partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keyExprs) :: Nil
+
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kLocal = k
+    val keys = keyExprs
+    val so = order
+    val attrs = child.output
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(keys, attrs)
+      val ord: BaseOrdering = RowOrdering.create(so, attrs)
+      // root of each heap = the WORST kept row (reverse comparator), so a
+      // candidate only displaces the root when it ranks strictly better
+      val worstFirst = new java.util.Comparator[InternalRow] {
+        override def compare(a: InternalRow, b: InternalRow): Int = ord.compare(b, a)
+      }
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](kLocal + 1, worstFirst)
+          heaps.put(key.copy(), heap) // projection buffer is reused — copy on store
+        }
+        if (heap.size < kLocal) heap.add(row.copy()) // iterator row is reused too
+        else if (ord.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(row.copy())
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+    }, preservesPartitioning = true)
+  }
+}
+
+/** DataFrame-level entry point. Keys and order columns are resolved against
+  * the input's analyzed plan HERE (not left to the analyzer), so the node
+  * enters [[PlanBridge.ofRows]] fully resolved.
+  */
+object TopK {
+  /** @param order (columnName, descending) pairs; append a unique column as
+    *              the last entry to make the top-k deterministic.
+    */
+  def perKey(df: DataFrame, keys: Seq[String], order: Seq[(String, Boolean)], k: Int): DataFrame = {
+    ensureStrategy(df.sparkSession)
+    val lp = df.queryExecution.analyzed
+    def attr(n: String): Attribute = lp.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"no column '$n' in ${lp.output.map(_.name)}"))
+    val so = order.map { case (n, desc) =>
+      SortOrder(attr(n), if (desc) Descending else Ascending)
+    }
+    PlanBridge.ofRows(df.sparkSession, TopKPerKey(keys.map(attr), so, k, lp))
+  }
+
+  /** A session built without the engine's `spark.sql.extensions` entry (a
+    * plain spark-shell, the driver's own harness) has no strategy for the
+    * custom node and fails planning — so the entry point also registers
+    * [[TopKStrategy]] through the PUBLIC `experimental.extraStrategies`
+    * hook, idempotently. The extensions path remains the production
+    * registration; this makes the operator work on any session it's
+    * handed.
+    */
+  private def ensureStrategy(s: org.apache.spark.sql.SparkSession): Unit = synchronized {
+    if (!s.experimental.extraStrategies.contains(TopKStrategy))
+      s.experimental.extraStrategies = s.experimental.extraStrategies :+ TopKStrategy
+  }
+}

@@ -13,3 +13,14 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Same story for Dataset.ofRows (private[sql] in Spark 4): the engine's
+  * custom logical operators (graft.plans.TopKPerKey) need to wrap a
+  * LogicalPlan back into a DataFrame.
+  */
+object PlanBridge {
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}

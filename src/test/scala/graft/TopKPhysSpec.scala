@@ -1,0 +1,89 @@
+package graft
+
+import graft.core.GraftSession
+import graft.plans.TopK
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates for the TopKPerKey custom physical operator: exact equality with
+  * the window row_number plan under a total order, edge semantics (small
+  * groups, null keys, null order values), the two-phase plan shape, and —
+  * the operator's reason to exist — the map-side shuffle reduction.
+  */
+class TopKPhysSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(4, "topk-spec")
+
+  private def windowTopK(df: org.apache.spark.sql.DataFrame, k: Int) = {
+    val w = Window.partitionBy(col("key")).orderBy(col("v").desc, col("id").asc)
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
+  }
+
+  test("matches window row_number under a total order (ties, small groups, null keys/values)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(77L)
+    val rows = (0 until 2000).map { i =>
+      (i.toLong,
+        if (i % 97 == 0) null else s"k${rng.nextInt(7)}",
+        if (i % 53 == 0) None else Some(rng.nextInt(40).toDouble)) // heavy ties
+    } :+ (9999L, "lonely", Some(1.0)) // group smaller than k
+    val df = rows.toDF("id", "key", "v").repartition(8)
+    for (k <- Seq(1, 3, 25)) {
+      val exp = windowTopK(df, k).collect().map(_.toSeq).toSet
+      val got = TopK.perKey(df, Seq("key"), Seq(("v", true), ("id", false)), k)
+        .collect().map(_.toSeq).toSet
+      assert(got == exp, s"k=$k mismatch")
+    }
+  }
+
+  test("two-phase plan: partial and final TopKPerKeyExec around one key exchange") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => (i.toLong, s"k${i % 3}", i.toDouble)).toDF("id", "key", "v")
+    val top = TopK.perKey(df, Seq("key"), Seq(("v", true), ("id", false)), 2)
+    val plan = top.queryExecution.executedPlan.toString
+    assert("TopKPerKey".r.findAllIn(plan).size >= 2, s"expected partial+final phases:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning"), s"expected a key exchange:\n$plan")
+  }
+
+  test("map-side pruning: the exchange carries <= k * keys * partitions rows, not the input") {
+    import spark.implicits._
+    val nParts = 8
+    val df = (0 until 10000).map(i => (i.toLong, s"k${i % 3}", (i % 100).toDouble))
+      .toDF("id", "key", "v").repartition(nParts)
+    val top = TopK.perKey(df, Seq("key"), Seq(("v", true), ("id", false)), 2)
+    top.collect()
+    val root = top.queryExecution.executedPlan
+    val finalPlan = root match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // descend into AQE query-stage wrappers — plain collect stops at them
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] =
+      (p +: p.children.flatMap(allNodes)) ++ (p match {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allNodes(q.plan)
+        case _ => Nil
+      })
+    val shuffles = allNodes(finalPlan).collect { case s: ShuffleExchangeLike => s }
+    assert(shuffles.nonEmpty, s"no exchange found:\n$finalPlan")
+    val written = shuffles.map(
+      _.metrics.collect {
+        case (name, m) if m.name.exists(_.toLowerCase.contains("records written")) => m.value
+      }.sum).sum
+    // the repartition(8) shuffle writes 10000; the top-k exchange must write
+    // <= 2*3*8 = 48 — so total well under 2x input (un-pruned would be 20000)
+    assert(written <= 10000 + 48, s"map-side pruning missing: $written records shuffled")
+    assert(written >= 10000, "expected the repartition shuffle in the count")
+  }
+
+  test("flagship q69 equals q17 on testdata") {
+    val a = graft.operators.Relational.q17TopK(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSeq
+    val b = graft.operators.Relational.q69TopKPhysical(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+}
