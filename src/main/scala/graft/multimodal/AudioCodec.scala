@@ -1,0 +1,118 @@
+package graft.multimodal
+
+/** From-scratch codec for 16-bit PCM mono WAV (RIFF/WAVE) — like
+  * [[ImageCodec]], a fully-specified public byte format that needs no media
+  * library, so the multimodal pipeline's AUDIO decode operates on real
+  * samples instead of stub bytes: RIFF header ("RIFF" + size + "WAVE"),
+  * an "fmt " chunk (PCM format tag 1, channel count, sample rate, block
+  * align, bits/sample), then a "data" chunk of little-endian int16 frames.
+  * The decoder walks chunks by declared size, so extra chunks (LIST, cue)
+  * between fmt and data are skipped like any compliant reader.
+  */
+object AudioCodec {
+
+  final case class Audio(sampleRate: Int, samples: Array[Short])
+
+  private def i32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def put32(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+    b(o + 2) = ((v >> 16) & 0xff).toByte; b(o + 3) = ((v >> 24) & 0xff).toByte
+  }
+  private def put16(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+  }
+  private def tag(b: Array[Byte], o: Int, s: String): Unit = {
+    var i = 0; while (i < 4) { b(o + i) = s.charAt(i).toByte; i += 1 }
+  }
+  private def isTag(b: Array[Byte], o: Int, s: String): Boolean =
+    (0 until 4).forall(i => b(o + i) == s.charAt(i).toByte)
+
+  def encodeWav(a: Audio): Array[Byte] = {
+    val dataSize = a.samples.length * 2
+    val out = new Array[Byte](44 + dataSize)
+    tag(out, 0, "RIFF"); put32(out, 4, 36 + dataSize); tag(out, 8, "WAVE")
+    tag(out, 12, "fmt "); put32(out, 16, 16)
+    put16(out, 20, 1)                    // PCM
+    put16(out, 22, 1)                    // mono
+    put32(out, 24, a.sampleRate)
+    put32(out, 28, a.sampleRate * 2)     // byte rate
+    put16(out, 32, 2)                    // block align
+    put16(out, 34, 16)                   // bits per sample
+    tag(out, 36, "data"); put32(out, 40, dataSize)
+    var i = 0
+    while (i < a.samples.length) { put16(out, 44 + i * 2, a.samples(i) & 0xffff); i += 1 }
+    out
+  }
+
+  def isWav(bytes: Array[Byte]): Boolean =
+    bytes.length >= 44 && isTag(bytes, 0, "RIFF") && isTag(bytes, 8, "WAVE")
+
+  def decodeWav(bytes: Array[Byte]): Audio = {
+    require(isWav(bytes), "not a RIFF/WAVE payload")
+    var pos = 12
+    var sampleRate = -1
+    var samples: Array[Short] = null
+    while (pos + 8 <= bytes.length && (sampleRate < 0 || samples == null)) {
+      val size = i32(bytes, pos + 4)
+      require(size >= 0 && pos + 8 + size <= bytes.length, "truncated WAV chunk")
+      if (isTag(bytes, pos, "fmt ")) {
+        require(size >= 16, s"fmt chunk too small ($size)")
+        val fmt = u16(bytes, pos + 8)
+        val channels = u16(bytes, pos + 10)
+        val bits = u16(bytes, pos + 22)
+        require(fmt == 1 && channels == 1 && bits == 16,
+          s"unsupported WAV variant: fmt=$fmt channels=$channels bits=$bits (only 16-bit PCM mono)")
+        sampleRate = i32(bytes, pos + 12)
+      } else if (isTag(bytes, pos, "data")) {
+        require(sampleRate > 0, "WAV data chunk before fmt chunk")
+        samples = new Array[Short](size / 2)
+        var i = 0
+        while (i < samples.length) {
+          samples(i) = ((bytes(pos + 8 + i * 2) & 0xff) |
+            (bytes(pos + 9 + i * 2) << 8)).toShort
+          i += 1
+        }
+      }
+      pos += 8 + size + (size & 1) // RIFF chunks are 2-byte aligned
+    }
+    require(samples != null, "WAV has no data chunk")
+    Audio(sampleRate, samples)
+  }
+
+  /** 16-dim feature vector from DECODED samples: [mean |s|, RMS, zero-cross
+    * rate, DC offset] (amplitude terms /32768) + 12-bucket |s| histogram
+    * normalized by sample count. All-integer accumulation (the RMS uses one
+    * final sqrt on an exact long sum), so the vector is bit-deterministic
+    * across partitionings and platforms — same contract as
+    * [[ImageCodec.pixelFeatures]].
+    */
+  def sampleFeatures(a: Audio): Array[Float] = {
+    val f = new Array[Float](Multimodal.FeatureDim)
+    val n = a.samples.length
+    if (n == 0) return f
+    var sumAbs = 0L; var sumSq = 0L; var sum = 0L; var zc = 0L
+    val hist = new Array[Int](12)
+    var prevNeg = a.samples(0) < 0
+    var i = 0
+    while (i < n) {
+      val s = a.samples(i).toInt
+      val abs = math.abs(s)
+      sumAbs += abs; sumSq += s.toLong * s; sum += s
+      val neg = s < 0
+      if (i > 0 && neg != prevNeg) zc += 1
+      prevNeg = neg
+      hist(math.min(11, abs * 12 / 32768)) += 1
+      i += 1
+    }
+    f(0) = (sumAbs.toDouble / n / 32768.0).toFloat
+    f(1) = (math.sqrt(sumSq.toDouble / n) / 32768.0).toFloat
+    f(2) = (zc.toDouble / n).toFloat
+    f(3) = (sum.toDouble / n / 32768.0).toFloat
+    var b = 0
+    while (b < 12) { f(4 + b) = hist(b).toFloat / n; b += 1 }
+    f
+  }
+}

@@ -66,10 +66,30 @@ object Multimodal {
     ImageCodec.Image(w, h, rgb)
   }
 
+  /** Deterministic synthetic waveform (sawtooth whose period is seeded, plus
+    * hash jitter) — pure function of (seedMix, length), like
+    * [[syntheticImage]].
+    */
+  private[graft] def syntheticAudio(seedMix: Long, n: Int): AudioCodec.Audio = {
+    val s = new Array[Short](n)
+    val period = 64 + (seedMix & 0x3f).toInt
+    var i = 0
+    while (i < n) {
+      val saw = (i % period) * 60000 / period - 30000
+      val noise = ((mix(seedMix, i.toLong) & 0xfff) - 2048).toInt
+      val v = math.max(-32768, math.min(32767, saw + noise))
+      s(i) = v.toShort
+      i += 1
+    }
+    AudioCodec.Audio(8000, s)
+  }
+
   /** Deterministic synthetic media table (no external data). Image payloads
-    * are REAL encoded files — even media_ids as BMP, odd as PPM, so both
-    * decoders are exercised by every downstream query; audio/video payloads
-    * stay opaque synthetic bytes (their decoders are the documented stubs).
+    * are REAL encoded files — even media_ids as BMP, odd as PPM — and audio
+    * payloads are REAL 16-bit PCM mono WAV files ([[AudioCodec]]), so three
+    * decoders are exercised by every downstream query; video payloads stay
+    * opaque synthetic bytes (video codecs are the one documented stub —
+    * not implementable offline).
     */
   def generate(spark: SparkSession, n: Long, seed: Long = 42L, numParts: Int = 32): Dataset[MediaFile] = {
     import spark.implicits._
@@ -85,6 +105,8 @@ object Multimodal {
         if (kind == "image") {
           val img = syntheticImage(mix(seed, i), w, h)
           if (i % 2 == 0) ImageCodec.encodeBmp(img) else ImageCodec.encodePpm(img)
+        } else if (kind == "audio") {
+          AudioCodec.encodeWav(syntheticAudio(mix(seed, i), 256 + rng.nextInt(2048)))
         } else {
           val size = 256 + rng.nextInt(4096)
           val b = new Array[Byte](size)
@@ -96,19 +118,20 @@ object Multimodal {
     })
   }
 
-  /** Decode dispatch on the payload's magic bytes: BMP and PPM payloads are
-    * DECODED (from-scratch [[ImageCodec]]) and featurized from their pixels;
-    * anything else (the audio/video stubs) falls back to the 16-bucket byte
-    * histogram — the documented fake for codecs that need libraries this
-    * container doesn't have.
+  /** Decode dispatch on the payload's magic bytes: BMP/PPM payloads are
+    * DECODED ([[ImageCodec]]) and featurized from pixels, WAV payloads
+    * ([[AudioCodec]]) from PCM samples; anything else (the video stub)
+    * falls back to the 16-bucket byte histogram — the one documented fake
+    * left, for codecs that need libraries this container doesn't have.
     */
   def decodeToFeature(payload: Array[Byte]): Array[Float] =
     if (ImageCodec.isBmp(payload)) ImageCodec.pixelFeatures(ImageCodec.decodeBmp(payload))
     else if (ImageCodec.isPpm(payload)) ImageCodec.pixelFeatures(ImageCodec.decodePpm(payload))
+    else if (AudioCodec.isWav(payload)) AudioCodec.sampleFeatures(AudioCodec.decodeWav(payload))
     else byteHistogramFeature(payload)
 
-  /** STUB decode for audio/video: deterministic 16-bucket byte histogram
-    * normalized by length (a real implementation would decode samples).
+  /** STUB decode for video: deterministic 16-bucket byte histogram
+    * normalized by length (a real implementation would decode frames).
     */
   def byteHistogramFeature(payload: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](FeatureDim)

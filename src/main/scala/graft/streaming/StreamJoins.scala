@@ -1,0 +1,36 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-stream temporal joins — the streaming counterpart of the batch
+  * range/as-of family (q66/q67). Structured Streaming only admits
+  * stream-stream inner joins when BOTH sides are watermarked and the join
+  * condition bounds event-time distance (otherwise state is unbounded);
+  * this operator packages exactly that contract.
+  */
+object StreamJoins {
+
+  /** Watermarked interval join: rows join when the keys match and
+    * `rightTs ∈ [leftTs + lowerSec, leftTs + upperSec]`. The watermark
+    * bounds BOTH the state each side retains and the admissible lateness;
+    * within it, results are exactly the batch join's (spec-gated). Both
+    * inputs must carry distinct column names (the streaming planner
+    * disambiguates by reference, but downstream sinks want clean names).
+    *
+    * At scale this is the standard enrich-by-time-window shape (clicks
+    * joined to purchases within 5 minutes): state per key stays
+    * O(rows inside the interval + watermark slack), shuffled once on the
+    * key — no unbounded buffering, no reprocessing.
+    */
+  def intervalJoin(left: DataFrame, leftTs: String, right: DataFrame, rightTs: String,
+      leftKey: String, rightKey: String, lowerSec: Int, upperSec: Int,
+      watermarkSec: Int): DataFrame = {
+    val l = left.withWatermark(leftTs, s"$watermarkSec seconds")
+    val r = right.withWatermark(rightTs, s"$watermarkSec seconds")
+    l.join(r,
+      l(leftKey) === r(rightKey) &&
+        r(rightTs) >= l(leftTs) + expr(s"INTERVAL $lowerSec seconds") &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $upperSec seconds"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.multimodal.{AudioCodec, Multimodal}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ground truth for the from-scratch PCM-WAV codec and its sample-space
+  * features (the audio analogue of the image-codec golden tests).
+  */
+class AudioCodecSpec extends AnyFunSuite {
+
+  test("WAV round-trips sample-exact, incl. extreme values and odd chunk padding") {
+    for (n <- Seq(0, 1, 2, 255, 1024)) {
+      val samples = Array.tabulate[Short](n)(i =>
+        (((i * 2654435761L) % 65536) - 32768).toShort)
+      val a = AudioCodec.Audio(8000, samples)
+      val back = AudioCodec.decodeWav(AudioCodec.encodeWav(a))
+      assert(back.sampleRate == 8000 && back.samples.toSeq == samples.toSeq, s"n=$n")
+    }
+    val extremes = AudioCodec.Audio(44100, Array[Short](Short.MinValue, Short.MaxValue, 0, -1, 1))
+    assert(AudioCodec.decodeWav(AudioCodec.encodeWav(extremes)).samples.toSeq ==
+      extremes.samples.toSeq)
+  }
+
+  test("decoder walks unknown chunks and fails loudly on bad variants") {
+    // hand-build a WAV with a junk LIST chunk between fmt and data
+    val base = AudioCodec.encodeWav(AudioCodec.Audio(8000, Array[Short](100, -200, 300)))
+    val fmtChunk = base.slice(12, 36)  // "fmt " + 16-byte body
+    val dataChunk = base.slice(36, base.length)
+    val junk = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0, 9, 9, 9, 9)
+    val body = fmtChunk ++ junk ++ dataChunk
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(Array[Byte]((body.length + 4 & 0xff).toByte,
+      ((body.length + 4) >> 8 & 0xff).toByte, 0, 0))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write(body)
+    val dec = AudioCodec.decodeWav(out.toByteArray)
+    assert(dec.samples.toSeq == Seq[Short](100, -200, 300))
+    // loud failures: stereo / 8-bit / truncated
+    val stereo = AudioCodec.encodeWav(AudioCodec.Audio(8000, Array[Short](1, 2)))
+    stereo(22) = 2 // channels = 2
+    intercept[IllegalArgumentException](AudioCodec.decodeWav(stereo))
+    intercept[IllegalArgumentException](AudioCodec.decodeWav(Array[Byte](1, 2, 3)))
+  }
+
+  test("sample features golden + determinism across generate partitionings") {
+    // golden: constant positive signal s=16384 → meanAbs=rms=0.5, zc=0,
+    // dc=0.5, all histogram mass in bucket 16384*12/32768 = 6
+    val const = AudioCodec.Audio(8000, Array.fill[Short](64)(16384))
+    val f = AudioCodec.sampleFeatures(const)
+    assert(f(0) == 0.5f && f(1) == 0.5f && f(2) == 0f && f(3) == 0.5f)
+    assert(f(4 + 6) == 1f && (0 until 12).filter(_ != 6).forall(b => f(4 + b) == 0f))
+    // alternating ±16384: zc rate = (n-1)/n, dc 0
+    val alt = AudioCodec.Audio(8000, Array.tabulate[Short](64)(i => if (i % 2 == 0) 16384 else -16384))
+    val fa = AudioCodec.sampleFeatures(alt)
+    assert(fa(0) == 0.5f && fa(2) == 63f / 64f && fa(3) == 0f)
+    // generated audio payloads are real WAVs with stable features
+    val spark = graft.core.GraftSession.local(4, "audio-spec")
+    val rows = Multimodal.generate(spark, 200, 7L, 4).collect().filter(_.kind == "audio")
+    assert(rows.nonEmpty)
+    rows.foreach { m =>
+      assert(AudioCodec.isWav(m.payload), s"audio ${m.media_id} not a WAV")
+      val feats = Multimodal.decodeToFeature(m.payload)
+      assert(feats.toSeq == AudioCodec.sampleFeatures(AudioCodec.decodeWav(m.payload)).toSeq)
+      // a sawtooth sweeps the amplitude range: histogram spread over >1 bucket
+      assert(feats.drop(4).count(_ > 0f) > 1, s"audio ${m.media_id} features look stubbed")
+    }
+  }
+}

@@ -102,6 +102,41 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
     assert(b.toSeq == Seq(("b", 4L, 0L, false), ("b", 6L, 2L, false)))
   }
 
+  test("stream-stream interval join equals the batch join on the same data") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ts = (s: Long) => new java.sql.Timestamp(1700000000000L + s * 1000)
+    // purchases enriched with clicks from the preceding 300 s, same user;
+    // data arrives out of order across micro-batches but inside the watermark
+    val purchases = Seq((1L, 10L, ts(500)), (2L, 10L, ts(900)), (3L, 20L, ts(600)),
+      (4L, 30L, ts(1000)))
+    val clicks = Seq((100L, 10L, ts(250)), (101L, 10L, ts(480)), (102L, 10L, ts(700)),
+      (103L, 20L, ts(599)), (104L, 20L, ts(601)), (105L, 40L, ts(500)))
+    val pIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val cIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val joined = graft.streaming.StreamJoins.intervalJoin(
+      pIn.toDF().toDF("p_id", "p_user", "p_ts"), "p_ts",
+      cIn.toDF().toDF("c_id", "c_user", "c_ts"), "c_ts",
+      "p_user", "c_user", lowerSec = -300, upperSec = 0, watermarkSec = 3600)
+    val q = joined.select("p_id", "c_id")
+      .writeStream.format("memory").queryName("sjoin").outputMode("append").start()
+    pIn.addData(purchases.take(2): _*); cIn.addData(clicks.take(3): _*)
+    q.processAllAvailable()
+    pIn.addData(purchases.drop(2): _*); cIn.addData(clicks.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sjoin").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val batch = for {
+      (pid, pu, pts) <- purchases
+      (cid, cu, cts) <- clicks
+      if cu == pu && cts.getTime >= pts.getTime - 300000 && cts.getTime <= pts.getTime
+    } yield (pid, cid)
+    assert(streamed == batch.sorted)
+    assert(streamed.nonEmpty && streamed.size < purchases.size * clicks.size)
+  }
+
   test("streaming dedup keeps the first row per content sha across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -130,11 +165,11 @@ class StreamingAndMultimodalSpec extends AnyFunSuite {
       .collect().map(x => x.media_id -> x.feature.toSeq).toMap
     assert(f1.size == 500 && f1 == f2, "features depend on batching/partitioning")
     f1.foreach { case (id, f) =>
-      if (kinds(id) == "image")
-        // pixel features: dims 4..15 are a normalized luma histogram
-        assert(math.abs(f.drop(4).sum - 1.0) < 1e-3, s"image $id luma histogram not normalized")
+      if (kinds(id) == "image" || kinds(id) == "audio")
+        // real decodes: dims 4..15 are a normalized luma/|sample| histogram
+        assert(math.abs(f.drop(4).sum - 1.0) < 1e-3, s"${kinds(id)} $id histogram not normalized")
       else
-        // audio/video stub: a normalized byte histogram
+        // video stub: a normalized byte histogram
         assert(math.abs(f.sum - 1.0) < 1e-3, s"stub $id histogram not normalized")
     }
   }
