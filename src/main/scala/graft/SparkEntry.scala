@@ -87,6 +87,7 @@ object SparkEntry {
     "q67_asof_join"       -> (RangeQueries.q67AsofJoin _),
     "q68_winnow_sha"      -> (PipelineQueries.q68WinnowSha _),
     "q69_topk_phys"       -> (Relational.q69TopKPhysical _),
+    "q70_stream_interval_join" -> (graft.streaming.StreamJoins.availableNowIntervalJoin _),
     // flagship pipeline (not SQL-expressible: broadcast-model stages) —
     // driver records rows-only checks for these two.
     "q30_quality_filter"  -> (DocumentsAdapter.qualityFilterQuery _),
@@ -191,6 +192,9 @@ object SparkEntry {
     // the custom two-phase TopKPerKey physical operator produces exactly
     // the window top-k rows under the same total order — q17's oracle
     "q69_topk_phys"       -> RelationalSql.q17TopK,
+    // the STREAMING engine's stream-stream interval join (availableNow,
+    // self-join of a file stream) vs the plain batch inequality join
+    "q70_stream_interval_join" -> RangeSql.q70StreamIntervalJoin,
     // (q55_simhash_pairs stays rows-only: simhash signatures aren't
     // DuckDB-expressible; spec-gated like q22)
   )

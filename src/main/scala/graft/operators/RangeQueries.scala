@@ -80,6 +80,16 @@ object RangeSql {
       |  ON value >= lo AND value <= hi
       |GROUP BY iv_id ORDER BY iv_id""".stripMargin
 
+  val q70StreamIntervalJoin: String =
+    """SELECT p_id, user_id, c_id, gap_us FROM (
+      |  SELECT p.event_id AS p_id, p.user_id AS user_id, c.event_id AS c_id,
+      |    epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+      |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |    ON c.user_id = p.user_id
+      |   AND c.ts >= p.ts - INTERVAL 14400 SECOND AND c.ts <= p.ts
+      |) ORDER BY p_id, c_id""".stripMargin
+
   val q67AsofJoin: String =
     """SELECT p_id, user_id, c_id, gap_us FROM (
       |  SELECT p.event_id AS p_id, p.user_id AS user_id, c.event_id AS c_id,

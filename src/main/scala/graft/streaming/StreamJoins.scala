@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Stream-stream temporal joins — the streaming counterpart of the batch
@@ -32,5 +32,56 @@ object StreamJoins {
       l(leftKey) === r(rightKey) &&
         r(rightTs) >= l(leftTs) + expr(s"INTERVAL $lowerSec seconds") &&
         r(rightTs) <= l(leftTs) + expr(s"INTERVAL $upperSec seconds"))
+  }
+
+  /** q70: the stream-stream interval join computed BY the streaming engine
+    * in one availableNow run — purchases enriched with the same user's
+    * clicks from the preceding 4 hours, both sides filtered views of ONE
+    * file stream over the staged events table (a stream-stream SELF-join:
+    * each side keeps its own watermark + join state). The DuckDB twin is
+    * the plain batch inequality join, so the streaming engine's join
+    * semantics (state insertion, interval bounds, key matching) are
+    * rows+schema+hash value-gated exactly the way q48 gates the stateless
+    * stages.
+    */
+  def availableNowIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val eventsPath = s"$dir/events.parquet"
+    val schema = spark.read.parquet(eventsPath).schema
+    val (work, inDir) = StreamingQualityFilter.stageStreamDir(eventsPath, "graft-stream-q70-")
+    val stream = spark.readStream.schema(schema).parquet(inDir.toString)
+    // events.ts is TIMESTAMP_NTZ; watermarks demand TIMESTAMP — the cast is
+    // exact under the engine's fixed UTC session timezone
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").cast("timestamp").as("p_ts"))
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").cast("timestamp").as("c_ts"))
+    val joined = intervalJoin(purchases, "p_ts", clicks, "c_ts", "p_user", "c_user",
+        lowerSec = -14400, upperSec = 0, watermarkSec = 86400 * 60)
+      .select(col("p_id"), col("p_user").as("user_id"), col("c_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+    val out = work.resolve("out").toString
+    val q = joined.writeStream
+      .format("parquet")
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start(out)
+    q.awaitTermination()
+    // staging links and the checkpoint are dead once the run terminates;
+    // `out` must outlive this call (the returned DataFrame reads it lazily)
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+        scala.util.Using.resource(java.nio.file.Files.list(p)) { st =>
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala.toSeq.foreach(rm)
+        }
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rm(inDir)
+    rm(work.resolve("ckpt"))
+    spark.read.parquet(out).orderBy("p_id", "c_id")
   }
 }

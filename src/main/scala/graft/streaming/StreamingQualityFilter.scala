@@ -77,47 +77,7 @@ object StreamingQualityFilter {
     val stats = spark.createDataFrame(
       java.util.Arrays.asList(statsD.collect(): _*), statsD.schema)
 
-    // the file stream source needs a DIRECTORY basePath (at scale the input
-    // is one anyway); the driver testdata ships documents.parquet as a
-    // single file. Stage every regular data file (the path may itself be a
-    // Spark-written directory) into a temp dir via per-file symlinks so the
-    // source always sees a flat directory of parquet files (copy fallback
-    // for link-less filesystems).
-    val work = java.nio.file.Files.createTempDirectory("graft-stream-q48-")
-    val inDir = java.nio.file.Files.createDirectory(work.resolve("in"))
-    val src = java.nio.file.Paths.get(docsPath)
-    val dataFiles: Seq[java.nio.file.Path] =
-      if (java.nio.file.Files.isDirectory(src))
-        scala.util.Using.resource(java.nio.file.Files.walk(src)) { st =>
-          import scala.jdk.CollectionConverters._
-          st.iterator().asScala
-            // Hive-style partitioning keeps the partition values in
-            // `name=value` DIRECTORY names, not in the files: flattening
-            // such a layout would feed the explicit-schema stream silent
-            // nulls for the partition columns while the batch side recovers
-            // them — a silent stream/batch divergence. Fail loudly instead
-            // (a partitioned input should be streamed via basePath).
-            .map { p =>
-              if (java.nio.file.Files.isDirectory(p) && p != src &&
-                  p.getFileName.toString.contains("="))
-                throw new IllegalStateException(
-                  s"Hive-partitioned input layout under $src (directory " +
-                    s"'${p.getFileName}'): flattening would drop the partition " +
-                    "columns — stream this input with a basePath read instead")
-              p
-            }
-            .filter(p => java.nio.file.Files.isRegularFile(p) &&
-              !p.getFileName.toString.startsWith("_") &&
-              !p.getFileName.toString.startsWith("."))
-            .toSeq
-        }
-      else Seq(src)
-    dataFiles.zipWithIndex.foreach { case (f, i) =>
-      val dst = inDir.resolve(f"part-$i%05d.parquet")
-      try java.nio.file.Files.createSymbolicLink(dst, f)
-      catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-        java.nio.file.Files.copy(f, dst); () }
-    }
+    val (work, inDir) = stageStreamDir(docsPath, "graft-stream-q48-")
 
     val stream = adapt(spark.readStream.schema(batchDocs.schema).parquet(inDir.toString))
       .withColumn("lang_pred", col("lang"))
@@ -157,6 +117,53 @@ object StreamingQualityFilter {
     rm(inDir)
     rm(work.resolve("ckpt"))
     spark.read.parquet(out).orderBy("path")
+  }
+
+  /** Flat-directory staging for the file stream source, which needs a
+    * DIRECTORY basePath (at scale the input is one anyway; the driver
+    * testdata ships single parquet FILES). Every regular data file under
+    * `srcPath` (itself possibly a Spark-written directory) is symlinked
+    * into a fresh temp dir (copy fallback for link-less filesystems).
+    * Returns (workDir, stagedInputDir); callers own cleanup.
+    */
+  private[streaming] def stageStreamDir(srcPath: String,
+      prefix: String): (java.nio.file.Path, java.nio.file.Path) = {
+    val work = java.nio.file.Files.createTempDirectory(prefix)
+    val inDir = java.nio.file.Files.createDirectory(work.resolve("in"))
+    val src = java.nio.file.Paths.get(srcPath)
+    val dataFiles: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(src))
+        scala.util.Using.resource(java.nio.file.Files.walk(src)) { st =>
+          import scala.jdk.CollectionConverters._
+          st.iterator().asScala
+            // Hive-style partitioning keeps the partition values in
+            // `name=value` DIRECTORY names, not in the files: flattening
+            // such a layout would feed the explicit-schema stream silent
+            // nulls for the partition columns while the batch side recovers
+            // them — a silent stream/batch divergence. Fail loudly instead
+            // (a partitioned input should be streamed via basePath).
+            .map { p =>
+              if (java.nio.file.Files.isDirectory(p) && p != src &&
+                  p.getFileName.toString.contains("="))
+                throw new IllegalStateException(
+                  s"Hive-partitioned input layout under $src (directory " +
+                    s"'${p.getFileName}'): flattening would drop the partition " +
+                    "columns — stream this input with a basePath read instead")
+              p
+            }
+            .filter(p => java.nio.file.Files.isRegularFile(p) &&
+              !p.getFileName.toString.startsWith("_") &&
+              !p.getFileName.toString.startsWith("."))
+            .toSeq
+        }
+      else Seq(src)
+    dataFiles.zipWithIndex.foreach { case (f, i) =>
+      val dst = inDir.resolve(f"part-$i%05d.parquet")
+      try java.nio.file.Files.createSymbolicLink(dst, f)
+      catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+        java.nio.file.Files.copy(f, dst); () }
+    }
+    (work, inDir)
   }
 
   /** Cumulative per-repo quality state. */

@@ -85,6 +85,23 @@ class RangeAsOfSpec extends AnyFunSuite {
     assert(off.count(r => r.head == 15L) == 6) // all non-null points in wide band
   }
 
+  test("rewrite handles TIMESTAMP points (epoch-seconds binning path)") {
+    import spark.implicits._
+    val t = (s: Long) => new java.sql.Timestamp(1700000000000L + s * 1000)
+    val points = (0 until 200).map(i => (i.toLong, t(i * 37))).toDF("p_id", "ts")
+    val intervals = (0 until 20).map(i =>
+      (i.toLong, t(i * 350), t(i * 350 + 500))).toDF("iv_id", "lo", "hi")
+    val cond = col("ts") >= col("lo") && col("ts") <= col("hi")
+    val off = withBin(None)(points.join(intervals, cond).count())
+    val on = withBin(Some("250.0")) {
+      val df = points.join(intervals, cond)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"not rewritten:\n$plan")
+      df.count()
+    }
+    assert(on == off && on > 0)
+  }
+
   test("rewrite leaves equi-joins alone") {
     import spark.implicits._
     val a = Seq((1L, 2.0), (2L, 9.0)).toDF("k", "x")
