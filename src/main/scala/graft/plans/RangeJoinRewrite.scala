@@ -146,10 +146,33 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   }
 }
 
-/** Engine extensions entry point — `spark.sql.extensions=graft.plans.GraftExtensions`. */
+/** Engine extensions entry point — `spark.sql.extensions=graft.plans.GraftExtensions`.
+  * Besides the plan-level extensions, the engine's codegen'd native
+  * expressions are registered as SQL functions so the pure-SQL surface
+  * (`spark.sql`, JDBC/Thrift users) reaches the same single-pass
+  * implementations the DataFrame API uses.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+  private def fn(name: String, className: String, arity: Int,
+      build: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo(className, name),
+      (children: Seq[Expression]) => {
+        require(children.size == arity, s"$name takes $arity argument(s), got ${children.size}")
+        build(children)
+      })
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RangeJoinRewrite)
     e.injectPlannerStrategy(_ => TopKStrategy)
+    // graft_normalize(str): NFC + strip marks + simple lowercase (q63)
+    e.injectFunction(fn("graft_normalize", classOf[graft.functions.NormalizeText].getName,
+      1, c => graft.functions.NormalizeText(c.head, stripAccents = true, lowercase = true)))
+    // graft_cosine(vec, vec): cosine similarity over float arrays
+    e.injectFunction(fn("graft_cosine", classOf[graft.functions.CosineSim].getName,
+      2, c => graft.functions.CosineSim(c(0), c(1))))
   }
 }

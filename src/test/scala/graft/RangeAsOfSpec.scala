@@ -114,6 +114,20 @@ class RangeAsOfSpec extends AnyFunSuite {
     }
   }
 
+  test("native expressions are reachable from pure SQL via injectFunction") {
+    import spark.implicits._
+    val s = "Mühleisen ΣΟΦΟΣ"
+    val viaDf = Seq(s).toDF("s")
+      .select(graft.functions.NormalizeText.col(col("s"))).collect()(0).getString(0)
+    val row = spark.sql(
+      s"""SELECT graft_normalize('$s') AS n,
+         |  graft_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+         |               array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c""".stripMargin)
+      .collect()(0)
+    assert(row.getString(0) == viaDf && viaDf == "muhleisen σοφοσ")
+    assert(math.abs(row.getDouble(1) - 1.0) < 1e-9)
+  }
+
   test("as-of backward join matches a sequential argmax oracle (ties, no-match)") {
     import spark.implicits._
     val rng = new scala.util.Random(20260817L)
