@@ -88,6 +88,10 @@ object SparkEntry {
     "q68_winnow_sha"      -> (PipelineQueries.q68WinnowSha _),
     "q69_topk_phys"       -> (Relational.q69TopKPhysical _),
     "q70_stream_interval_join" -> (graft.streaming.StreamJoins.availableNowIntervalJoin _),
+    "q71_bloom_semijoin"  -> (BloomQueries.q71BloomSemiJoin _),
+    "q72_fuzzy_join"      -> (graft.dedup.EditDistanceQueries.q72FuzzyJoin _),
+    "q73_rollup"          -> (GroupingQueries.q73Rollup _),
+    "q74_unpivot"         -> (GroupingQueries.q74Unpivot _),
     // flagship pipeline (not SQL-expressible: broadcast-model stages) —
     // driver records rows-only checks for these two.
     "q30_quality_filter"  -> (DocumentsAdapter.qualityFilterQuery _),
@@ -195,6 +199,16 @@ object SparkEntry {
     // the STREAMING engine's stream-stream interval join (availableNow,
     // self-join of a file stream) vs the plain batch inequality join
     "q70_stream_interval_join" -> RangeSql.q70StreamIntervalJoin,
+    // Bloom pre-filter has no false negatives and the exact semi join
+    // removes the positives — result ≡ the plain IN-subquery twin
+    "q71_bloom_semijoin"  -> BloomSql.q71BloomSemiJoin,
+    // length-blocked candidate generation is provably lossless at
+    // binWidth ≥ maxDist — the blocked plan must equal the naive join
+    "q72_fuzzy_join"      -> graft.dedup.EditDistanceSql.q72FuzzyJoin,
+    // one-pass grouping-sets expansion vs DuckDB ROLLUP
+    "q73_rollup"          -> GroupingSql.q73Rollup,
+    // native Unpivot node vs the portable UNION ALL spelling
+    "q74_unpivot"         -> GroupingSql.q74Unpivot,
     // (q55_simhash_pairs stays rows-only: simhash signatures aren't
     // DuckDB-expressible; spec-gated like q22)
   )

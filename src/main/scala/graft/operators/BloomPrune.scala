@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.core.Exact._
+import graft.core.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.BinaryType
+
+/** Bloom-filter semi-join pruning — the runtime-filter pattern for big
+  * fact-scan reduction (J-family strategy 5, after broadcast / shuffle /
+  * bucketed / salted).
+  *
+  * At 100 TB the dominant cost of `fact SEMI JOIN dim` is shuffling (or even
+  * scanning) fact rows that the dim side will reject. Spark's own
+  * InjectRuntimeFilter does this automatically for selective joins; this
+  * operator is the explicit, composable form the pipeline can apply when it
+  * KNOWS the dim side is selective (e.g. "only re-process documents whose
+  * repo survived dedup"): build a Bloom filter over the dim keys with the
+  * native [[BloomFilterAggregate]] (distributed TypedImperativeAggregate —
+  * per-partition partial sketches merged by the agg, one bounded sketch ever
+  * reaching the driver), broadcast it into a codegen-friendly
+  * [[BloomFilterMightContain]] predicate on the fact scan, then remove the
+  * false positives with the exact semi join the query needed anyway. No
+  * false negatives ⇒ result ≡ the plain semi join (q71's oracle).
+  *
+  * Reference analogue: the year-membership probe J1/P8 (`src/app.py:1177`) —
+  * membership pruning before alignment, here at fact-table scale.
+  */
+object BloomPrune {
+
+  /** `big` filtered to rows whose `bigKey` appears in `dim`'s `dimKey` —
+    * exactly `big SEMI JOIN dim`, with a Bloom pre-filter pruning the fact
+    * side before the join's exchange. `numBits` bounds the sketch (2^20
+    * bits = 128 KiB — broadcast-safe at any dim cardinality; fpp degrades,
+    * correctness never does).
+    */
+  def semiJoin(big: DataFrame, dim: DataFrame, bigKey: Column, dimKey: Column,
+      expectedItems: Long = 1000000L, numBits: Long = 1L << 20): DataFrame = {
+    val bloomAgg = new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64(dimKey)),
+      Literal(expectedItems), Literal(numBits), 0, 0).toAggregateExpression()
+    val bytes = dim.select(ColumnBridge.column(bloomAgg).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val pruned =
+      if (bytes == null) big.filter(lit(false)) // empty dim: no keys, no rows
+      else big.filter(ColumnBridge.column(BloomFilterMightContain(
+        Literal(bytes, BinaryType), ColumnBridge.expression(xxhash64(bigKey)))))
+    pruned.join(dim.select(dimKey.as("__graft_bloom_key")).distinct(),
+      bigKey === col("__graft_bloom_key"), "left_semi")
+  }
+
+  /** The Bloom-pruned scan alone (false positives included) — for the spec
+    * to prove the pre-filter actually prunes.
+    */
+  private[graft] def bloomPrunedOnly(big: DataFrame, dim: DataFrame,
+      bigKey: Column, dimKey: Column, numBits: Long = 1L << 20): DataFrame = {
+    val bloomAgg = new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64(dimKey)),
+      Literal(1000000L), Literal(numBits), 0, 0).toAggregateExpression()
+    val bytes = dim.select(ColumnBridge.column(bloomAgg).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    if (bytes == null) big.filter(lit(false))
+    else big.filter(ColumnBridge.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType), ColumnBridge.expression(xxhash64(bigKey)))))
+  }
+}
+
+/** Driver queries for [[BloomPrune]]. */
+object BloomQueries {
+
+  /** q71: lineitem rows belonging to high-value orders (top ~10% by
+    * totalprice), pruned by a Bloom filter over the selected orderkeys and
+    * verified by the exact semi join; aggregated per returnflag. Result is
+    * provably the plain `IN`-subquery semi join — [[BloomSql.q71]] is that
+    * twin.
+    */
+  def q71BloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val li  = Tables.lineitem(s, dir)
+    val dim = Tables.orders(s, dir).filter(col("o_totalprice") > 450000.0)
+    BloomPrune.semiJoin(li, dim, col("l_orderkey"), col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+}
+
+object BloomSql {
+  val q71BloomSemiJoin: String =
+    """SELECT l_returnflag, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.core.Exact._
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-level grouping + reshaping operators: ROLLUP grouping sets and
+  * unpivot/melt. These round out the relational surface the A-family
+  * summary tables imply (the reference materializes per-species, per-source
+  * AND overall summary rows by re-running the same aggregation per level —
+  * `src/app.py:611-à-1205` recomputes; ROLLUP computes all levels in ONE
+  * pass: Spark expands grouping sets map-side and the partial aggregation
+  * still combines before the single shuffle). Unpivot is the inverse of the
+  * P-family pivot (q18): wide metric columns to (key, metric, value) rows —
+  * the shape the report sink (K1) and the metrics table use.
+  */
+object GroupingQueries {
+
+  /** q73: one-pass ROLLUP over events — (event_type, year) detail, per-type
+    * subtotal, grand total. Rolled-up key levels surface as NULL from the
+    * grouping-set expansion; both engines coalesce them to sentinels so the
+    * three levels are value-comparable ('(all)' / -1 never occur in data).
+    */
+  def q73Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("yr", year(col("ts")))
+      .rollup(col("event_type"), col("yr"))
+      .agg(count(lit(1)).as("n"), round(dsum(col("value"), 4), 4).as("sum_value"))
+      .select(
+        coalesce(col("event_type"), lit("(all)")).as("event_type"),
+        coalesce(col("yr"), lit(-1)).as("yr"),
+        col("n"), col("sum_value"))
+      .orderBy("event_type", "yr")
+
+  /** q74: unpivot/melt — the per-returnflag wide aggregate re-shaped to
+    * (l_returnflag, metric, value) long form via the native Unpivot node
+    * (Spark's `Dataset.unpivot`, an Expand under the hood: no shuffle
+    * beyond the aggregation's own). Oracle is the portable UNION ALL
+    * spelling of the same reshape.
+    */
+  def q74Unpivot(s: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(dsum(col("l_quantity")), 2).as("sum_qty"),
+        round(dsum(col("l_extendedprice")), 2).as("sum_price"),
+        round(dsum(col("l_discount"), 4), 4).as("sum_disc"))
+    wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "metric", "value")
+      .orderBy("l_returnflag", "metric")
+  }
+}
+
+object GroupingSql {
+  val q73Rollup: String =
+    """SELECT COALESCE(event_type, '(all)') AS event_type,
+      |  COALESCE(CAST(year(ts) AS INTEGER), -1) AS yr,
+      |  COUNT(*) AS n,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE), 4) AS sum_value
+      |FROM events
+      |GROUP BY ROLLUP(event_type, year(ts))
+      |ORDER BY event_type, yr""".stripMargin
+
+  val q74Unpivot: String =
+    """WITH wide AS (
+      |  SELECT l_returnflag,
+      |    ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE), 2) AS sum_qty,
+      |    ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE), 2) AS sum_price,
+      |    ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(28,4))) AS DOUBLE), 4) AS sum_disc
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag, metric, value FROM (
+      |  SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+      |  UNION ALL
+      |  SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM wide
+      |  UNION ALL
+      |  SELECT l_returnflag, 'sum_disc' AS metric, sum_disc AS value FROM wide
+      |)
+      |ORDER BY l_returnflag, metric""".stripMargin
+}

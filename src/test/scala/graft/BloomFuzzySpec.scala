@@ -1,0 +1,118 @@
+package graft
+
+import graft.core.{GraftSession, Tables}
+import graft.dedup.EditDistance
+import graft.operators.{BloomPrune, GroupingQueries}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates for the Bloom semi-join pruning, the length-blocked edit-distance
+  * join, and the grouping-sets/unpivot reshapes: exact-equality oracles (the
+  * approximate/blocked plan must return the exact plan's rows) plus the
+  * pruning evidence the approximation exists to provide.
+  */
+class BloomFuzzySpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.local(4, "bloom-fuzzy-spec")
+
+  test("bloom semi-join equals the exact semi join and the pre-filter prunes") {
+    val li  = Tables.lineitem(spark, dir)
+    val dim = Tables.orders(spark, dir).filter(col("o_totalprice") > 450000.0)
+
+    val got = BloomPrune.semiJoin(li, dim, col("l_orderkey"), col("o_orderkey"))
+      .select("l_orderkey", "l_linenumber").collect().map(_.toSeq).toSet
+    val exact = li.join(dim, li("l_orderkey") === dim("o_orderkey"), "left_semi")
+      .select("l_orderkey", "l_linenumber").collect().map(_.toSeq).toSet
+    assert(got == exact, "bloom-pruned semi join diverged from the exact semi join")
+
+    val total    = li.count()
+    val pruned   = BloomPrune.bloomPrunedOnly(li, dim, col("l_orderkey"), col("o_orderkey")).count()
+    val matched  = exact.size.toLong
+    assert(pruned >= matched, "bloom filter dropped a true match (false negative!)")
+    assert(pruned < total / 2,
+      s"bloom pre-filter kept $pruned of $total rows — not pruning a ~10%-selective dim")
+  }
+
+  test("bloom semi-join on an empty dim returns no rows") {
+    val li  = Tables.lineitem(spark, dir)
+    val dim = Tables.orders(spark, dir).filter(col("o_totalprice") > 1e12)
+    assert(dim.isEmpty)
+    assert(BloomPrune.semiJoin(li, dim, col("l_orderkey"), col("o_orderkey")).isEmpty)
+  }
+
+  test("length-blocked edit-distance join equals the naive quadratic join") {
+    import spark.implicits._
+    // seeded strings with lengths straddling bin boundaries (width 4:
+    // lengths 3,4,5,7,8,11,12...) including exact dups and 1-2-edit variants
+    val rng  = new scala.util.Random(20260817L)
+    val base = Vector("abc", "abcd", "abcde", "queryset", "querysat", "sparkcat",
+      "sparkcatalyst", "zzz")
+    val rows = (0 until 120).map { i =>
+      val b = base(rng.nextInt(base.size))
+      val mutated = if (rng.nextBoolean()) b
+        else {
+          val pos = rng.nextInt(b.length)
+          val op  = rng.nextInt(3)
+          if (op == 0) b.updated(pos, ('a' + rng.nextInt(26)).toChar)            // sub
+          else if (op == 1) b.substring(0, pos) + b.substring(math.min(pos + 1, b.length)) // del
+          else b.substring(0, pos) + ('a' + rng.nextInt(26)).toChar + b.substring(pos)     // ins
+        }
+      (i.toLong, mutated)
+    }
+    val df = rows.toDF("doc_id", "k")
+
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val naive = (for {
+      (ia, ka) <- rows; (ib, kb) <- rows
+      if ia < ib && lev(ka, kb) <= 3
+    } yield (ia, ib, lev(ka, kb))).toSet
+
+    val got = EditDistance.pairs(df, col("doc_id"), col("k"), maxDist = 3, binWidth = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(naive.nonEmpty, "test generator produced no qualifying pairs")
+    assert(got == naive,
+      s"blocked join diverged: missing=${(naive -- got).take(5)} extra=${(got -- naive).take(5)}")
+  }
+
+  test("edit-distance pairs rejects a lossy bin width") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("doc_id", "k")
+    intercept[IllegalArgumentException] {
+      EditDistance.pairs(df, col("doc_id"), col("k"), maxDist = 5, binWidth = 4)
+    }
+  }
+
+  test("rollup levels are consistent: grand total = sum of subtotals = table count") {
+    val out = GroupingQueries.q73Rollup(spark, dir).collect()
+    val total = out.filter(r => r.getString(0) == "(all)").map(_.getLong(2)).sum
+    val subtotals = out.filter(r => r.getString(0) != "(all)" && r.getInt(1) == -1)
+      .map(_.getLong(2)).sum
+    val details = out.filter(r => r.getString(0) != "(all)" && r.getInt(1) != -1)
+      .map(_.getLong(2)).sum
+    val n = Tables.events(spark, dir).count()
+    assert(total == n && subtotals == n && details == n,
+      s"rollup levels disagree: total=$total subtotals=$subtotals details=$details table=$n")
+  }
+
+  test("unpivot is the exact inverse reshape of the wide aggregate") {
+    val wide = Tables.lineitem(spark, dir).groupBy(col("l_returnflag"))
+      .agg(round(graft.core.Exact.dsum(col("l_quantity")), 2).as("sum_qty"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val long = GroupingQueries.q74Unpivot(spark, dir)
+      .filter(col("metric") === "sum_qty").collect()
+    assert(long.length == wide.size)
+    long.foreach { r =>
+      assert(r.getDouble(2) == wide(r.getString(0)),
+        s"unpivoted sum_qty for ${r.getString(0)} diverged")
+    }
+  }
+}
