@@ -92,6 +92,10 @@ object SparkEntry {
     "q72_fuzzy_join"      -> (graft.dedup.EditDistanceQueries.q72FuzzyJoin _),
     "q73_rollup"          -> (GroupingQueries.q73Rollup _),
     "q74_unpivot"         -> (GroupingQueries.q74Unpivot _),
+    "q75_scrub_fused_rule" -> (PipelineQueries.q75ScrubFusedRule _),
+    "q76_stream_snapshot" -> (graft.streaming.StreamSnapshotSink.q76StreamSnapshot _),
+    "q77_incremental_qf"  -> (IncrementalQueries.q77IncrementalQf _),
+    "q78_incremental_metrics" -> (IncrementalQueries.q78IncrementalMetrics _),
     // flagship pipeline (not SQL-expressible: broadcast-model stages) —
     // driver records rows-only checks for these two.
     "q30_quality_filter"  -> (DocumentsAdapter.qualityFilterQuery _),
@@ -209,6 +213,19 @@ object SparkEntry {
     "q73_rollup"          -> GroupingSql.q73Rollup,
     // native Unpivot node vs the portable UNION ALL spelling
     "q74_unpivot"         -> GroupingSql.q74Unpivot,
+    // the naive user-written regexp_replace chain, optimizer-fused into the
+    // single-pass ScrubExpr — oracle replays the literal chain, so hash
+    // equality proves the ScrubChainFuse rewrite byte-exact
+    "q75_scrub_fused_rule" -> PipelineSql.q75ScrubFusedRule,
+    // streamed file-by-file through the exactly-once foreachBatch sink into
+    // the snapshot table (content-derived idempotent commit keys), replayed,
+    // read back — must equal the original table byte-for-byte
+    "q76_stream_snapshot" -> graft.streaming.StreamSnapshotSql.q76StreamSnapshot,
+    // incremental runner end-to-end: per-snapshot QF runs committed to
+    // output/metrics tables, resume proven a no-op in-query; the oracle
+    // replays the q44 heuristics with fences per (input snapshot, lang)
+    "q77_incremental_qf"  -> IncrementalSql.q77IncrementalQf,
+    "q78_incremental_metrics" -> IncrementalSql.q78IncrementalMetrics,
     // (q55_simhash_pairs stays rows-only: simhash signatures aren't
     // DuckDB-expressible; spec-gated like q22)
   )

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.core.{Staging, Tables}
+import graft.pipeline.{DocumentsAdapter, IncrementalRunner}
+import graft.table.SnapshotTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-visible value gates for [[IncrementalRunner]] — the north rule's
+  * "resumes idempotently from the last committed snapshot" exercised END TO
+  * END: input snapshots → per-snapshot quality-filter runs → output +
+  * metrics snapshot commits, then a second `processNew` proving the resume
+  * is a no-op, then the committed tables read back against a DuckDB twin.
+  *
+  * Semantics being value-checked: the incremental unit of work is ONE input
+  * snapshot, so the statistical fences (per-lang length quartiles) are
+  * computed over THAT snapshot's files alone — the oracle replays the q44
+  * heuristics with fences per (batch, lang), where batch is the commit
+  * parity the query used. This is the intended production behavior (each
+  * arriving increment is filtered against its own distribution snapshot),
+  * and the gate pins it so a refactor silently switching to global fences
+  * fails loudly.
+  */
+object IncrementalQueries {
+
+  /** Shared run: two input commits (even doc_ids at v0, odd at v1), one
+    * `processNew` over both, one no-op resume call. All three table roots
+    * are keyed by the input's content fingerprint, so re-runs (and the q78
+    * sibling below) resume the committed state instead of duplicating.
+    */
+  private def runIncremental(s: SparkSession, dir: String): (SnapshotTable, SnapshotTable) = {
+    val docsFile = java.nio.file.Paths.get(dir, "documents.parquet")
+    val input = SnapshotTable(s, Staging.stagePathFor("qfin", docsFile).toString)
+    val output = SnapshotTable(s, Staging.stagePathFor("qfout", docsFile).toString)
+    val metricsT = SnapshotTable(s, Staging.stagePathFor("qfmet", docsFile).toString)
+
+    val docs = Tables.spread(Tables.documents(s, dir))
+    def corpus(parity: Int): DataFrame =
+      DocumentsAdapter.fromDocuments(docs.filter(col("doc_id") % 2 === parity)).toDF()
+    input.append(corpus(0), "in-even") // v0 ⇔ oracle batch 0
+    input.append(corpus(1), "in-odd")  // v1 ⇔ oracle batch 1
+
+    IncrementalRunner.processNew(input, output, metricsT, DocumentsAdapter.q44Config)
+    val resumed = IncrementalRunner.processNew(input, output, metricsT,
+      DocumentsAdapter.q44Config)
+    require(resumed.isEmpty,
+      s"idempotent resume reprocessed versions ${resumed.mkString(",")}")
+    (output, metricsT)
+  }
+
+  /** q77: the incrementally-committed labeled output (both snapshots read
+    * back as one table) — q44's projection, fences per input snapshot.
+    */
+  def q77IncrementalQf(s: SparkSession, dir: String): DataFrame = {
+    val (output, _) = runIncremental(s, dir)
+    output.read().select(
+      col("path"), col("lang"),
+      col("n_chars").cast("long").as("n_chars"),
+      col("n_words").cast("long").as("n_words"),
+      col("keep"),
+      concat_ws("|", col("drop_reasons")).as("reasons"),
+      col("content_sha256"))
+      .orderBy("path")
+  }
+
+  /** q78: the per-snapshot rule-hit metrics table (K1 sink shape + the
+    * `input_version` lineage column the incremental runner stamps).
+    */
+  def q78IncrementalMetrics(s: SparkSession, dir: String): DataFrame = {
+    val (_, metricsT) = runIncremental(s, dir)
+    metricsT.read()
+      .select(col("input_version"), col("lang"), col("metric"), col("n"))
+      .orderBy("input_version", "lang", "metric")
+  }
+}
+
+object IncrementalSql {
+  private def ctes = PipelineSql.qfHeuristicCtesKeyed(Some("doc_id % 2"))
+
+  val q77IncrementalQf: String =
+    ctes +
+      """SELECT path, lang, n_chars, n_words, len(rl) = 0 AS keep,
+        |  COALESCE(array_to_string(rl, '|'), '') AS reasons, content_sha256
+        |FROM r ORDER BY path""".stripMargin
+
+  val q78IncrementalMetrics: String =
+    ctes +
+      """SELECT CAST(batch AS BIGINT) AS input_version, lang, metric, n FROM (
+        |  SELECT batch, lang, 'files' AS metric, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM r GROUP BY batch, lang
+        |  UNION ALL
+        |  SELECT batch, lang, 'kept', CAST(SUM(CASE WHEN len(rl) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM r GROUP BY batch, lang
+        |  UNION ALL
+        |  SELECT batch, lang, 'reason:' || reason, CAST(COUNT(*) AS BIGINT)
+        |  FROM (SELECT batch, lang, unnest(rl) AS reason FROM r) GROUP BY 1, 2, 3
+        |) ORDER BY input_version, lang, metric""".stripMargin
+}

@@ -256,11 +256,20 @@ object PipelineQueries {
     * scrub semantics byte-for-byte (sha over the scrubbed text), triggered
     * AND untriggered paths.
     */
-  def q53ScrubExact(s: SparkSession, dir: String): DataFrame = {
+  def q53ScrubExact(s: SparkSession, dir: String): DataFrame =
+    graft.functions.TextMetrics.withMetricsAndShas(injectedPiiCorpus(s, dir))
+      .select(col("doc_id"), col("content_sha256"), col("scrubbed_sha256"))
+      .orderBy("doc_id")
+
+  /** The deterministic PII-injected corpus shared by q53/q75: each scrub
+    * rule fires on its doc_id % 5 residue class, doc_id % 7 == 0 rows stay
+    * clean. Keep in lockstep with PipelineSql's injection CTE (same CASE
+    * arms).
+    */
+  private[graft] def injectedPiiCorpus(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.spread(Tables.documents(s, dir))
     val id = col("doc_id")
     val ids = id.cast("string")
-    // keep in lockstep with PipelineSql.q53InjectionSql (same CASE arms)
     val inj = when(id % 5 === 0, concat(lit(" contact user"), ids, lit("@example.com now")))
       .when(id % 5 === 1, concat(lit(" key AKIA"), lpad(ids, 16, "0"), lit(" end")))
       .when(id % 5 === 2, concat(lit(" host 10."), (id % 200).cast("string"),
@@ -268,10 +277,27 @@ object PipelineQueries {
       .when(id % 5 === 3, concat(lit(" call +1-555-"), lpad((id % 1000).cast("string"), 3, "0"),
         lit("-"), lpad((id % 10000).cast("string"), 4, "0"), lit(" ok")))
       .otherwise(concat(lit(" password = hunter"), ids, lit(" done")))
-    val derived = docs.withColumn("content",
+    docs.withColumn("content",
       when(id % 7 === 0, col("text")).otherwise(concat(col("text"), inj)))
-    graft.functions.TextMetrics.withMetricsAndShas(derived)
-      .select(col("doc_id"), col("content_sha256"), col("scrubbed_sha256"))
+  }
+
+  /** q75: the scrub written the way a user who has never seen this engine
+    * writes it — five separate `withColumn(regexp_replace(...))` steps in
+    * spec order over the q53 corpus — executed through the optimizer, where
+    * `CollapseProject` nests the chain and [[graft.plans.ScrubChainFuse]]
+    * rewrites it into the single-pass fused [[graft.scrub.ScrubExpr]] (one
+    * string conversion + trigger-scan fast path instead of five regex
+    * passes). Value gate: same DuckDB chain oracle as q53, so a green row
+    * proves the REWRITE byte-exact end to end; ScrubFuseSpec proves the
+    * fusion actually fired (no RegExpReplace in the optimized plan).
+    */
+  def q75ScrubFusedRule(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.ScrubChainFuse.ensure(s)
+    val chained = graft.scrub.Scrub.rules.foldLeft(injectedPiiCorpus(s, dir)) {
+      case (df, (_, pat, rep)) =>
+        df.withColumn("content", regexp_replace(col("content"), pat, rep))
+    }
+    chained.select(col("doc_id"), sha2(col("content"), 256).as("scrubbed_sha256"))
       .orderBy("doc_id")
   }
 
@@ -548,25 +574,39 @@ object PipelineSql {
     * on U+000B, is unreachable: the corpus and the injected text carry no
     * vertical tab.)
     */
-  val q53ScrubExact: String = {
-    val chain = graft.scrub.Scrub.rules.foldLeft("content") { case (acc, (_, pat, rep)) =>
+  private val scrubChainSql: String =
+    graft.scrub.Scrub.rules.foldLeft("content") { case (acc, (_, pat, rep)) =>
       val re2Rep = rep.replace("$1", "\\1").replace("$2", "\\2")
       s"regexp_replace($acc, '$pat', '$re2Rep', 'g')"
     }
-    s"""WITH c AS (
-       |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text ELSE text ||
-       |    CASE doc_id % 5
-       |      WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
-       |      WHEN 1 THEN ' key AKIA' || lpad(CAST(doc_id AS VARCHAR), 16, '0') || ' end'
-       |      WHEN 2 THEN ' host 10.' || CAST(doc_id % 200 AS VARCHAR) || '.3.' || CAST(doc_id % 250 AS VARCHAR) || ' up'
-       |      WHEN 3 THEN ' call +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ok'
-       |      ELSE ' password = hunter' || CAST(doc_id AS VARCHAR) || ' done'
-       |    END END AS content
-       |  FROM documents)
+
+  private val injectionCte: String =
+    """WITH c AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text ELSE text ||
+      |    CASE doc_id % 5
+      |      WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+      |      WHEN 1 THEN ' key AKIA' || lpad(CAST(doc_id AS VARCHAR), 16, '0') || ' end'
+      |      WHEN 2 THEN ' host 10.' || CAST(doc_id % 200 AS VARCHAR) || '.3.' || CAST(doc_id % 250 AS VARCHAR) || ' up'
+      |      WHEN 3 THEN ' call +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ok'
+      |      ELSE ' password = hunter' || CAST(doc_id AS VARCHAR) || ' done'
+      |    END END AS content
+      |  FROM documents)""".stripMargin
+
+  val q53ScrubExact: String =
+    s"""$injectionCte
        |SELECT doc_id, sha256(content) AS content_sha256,
-       |  sha256($chain) AS scrubbed_sha256
+       |  sha256($scrubChainSql) AS scrubbed_sha256
        |FROM c ORDER BY doc_id""".stripMargin
-  }
+
+  /** q75 oracle: the identical injection + chain — the point of the row is
+    * that the SPARK side went through the ScrubChainFuse rewrite while the
+    * oracle replays the literal chain, so hash equality proves the rewrite
+    * byte-exact.
+    */
+  val q75ScrubFusedRule: String =
+    s"""$injectionCte
+       |SELECT doc_id, sha256($scrubChainSql) AS scrubbed_sha256
+       |FROM c ORDER BY doc_id""".stripMargin
 
   /** q56 oracle: the CAPPED candidate semantics in plain SQL — candidate
     * pairs only from shingles whose within-block document frequency is ≤ τ,
@@ -740,10 +780,21 @@ object PipelineSql {
         |  FROM (SELECT lang, unnest(rl) AS reason FROM r) GROUP BY 1, 2
         |) ORDER BY lang, metric""".stripMargin
 
-  private lazy val qfHeuristicCtes: String = {
+  private lazy val qfHeuristicCtes: String = qfHeuristicCtesKeyed(None)
+
+  /** The q44 heuristic CTE chain, optionally keyed by a batch expression:
+    * with `batchSql` set, the per-lang fences (length quartiles) are
+    * computed per (batch, lang) — the semantics of the INCREMENTAL runner,
+    * where each input snapshot's added files are filtered with fences from
+    * that snapshot alone (q77/q78).
+    */
+  private[operators] def qfHeuristicCtesKeyed(batchSql: Option[String]): String = {
     val cfg = graft.pipeline.DocumentsAdapter.q44Config
+    val bT = batchSql.map(b => s"$b AS batch, ").getOrElse("")
+    val bCol = batchSql.map(_ => "batch, ").getOrElse("")
+    val bKeys = batchSql.map(_ => "batch, ").getOrElse("")
     s"""WITH t AS (
-       |  SELECT 'doc/' || doc_id AS path, lang, text,
+       |  SELECT $bT'doc/' || doc_id AS path, lang, text,
        |    CAST(length(text) AS BIGINT) AS n_chars,
        |    len(string_split(text, chr(10))) AS n_lines,
        |    COALESCE(list_max(list_transform(string_split(text, chr(10)), x -> length(x))), 0) AS max_line_len,
@@ -754,7 +805,7 @@ object PipelineSql {
        |    regexp_matches(text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x{FFFD}]') AS has_bad
        |  FROM documents
        |), d AS (
-       |  SELECT path, lang, n_chars, n_words, has_bad, max_line_len,
+       |  SELECT ${bCol}path, lang, n_chars, n_words, has_bad, max_line_len,
        |    CAST(n_chars AS DOUBLE) / n_lines AS avg_line_len,
        |    CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(alnum AS DOUBLE) / n_chars END AS alnum_ratio,
        |    CASE WHEN n_lines = 0 THEN 0.0 ELSE 1.0 - CAST(distinct_lines AS DOUBLE) / n_lines END AS dup_line_ratio,
@@ -762,8 +813,8 @@ object PipelineSql {
        |    sha256(text) AS content_sha256
        |  FROM t
        |), s AS (
-       |  SELECT lang, quantile_cont(n_chars, 0.25) AS q1, quantile_cont(n_chars, 0.75) AS q3
-       |  FROM d GROUP BY lang
+       |  SELECT ${bKeys}lang, quantile_cont(n_chars, 0.25) AS q1, quantile_cont(n_chars, 0.75) AS q3
+       |  FROM d GROUP BY ${bKeys}lang
        |), r AS (
        |  SELECT d.*,
        |    list_filter([
@@ -776,7 +827,7 @@ object PipelineSql {
        |      CASE WHEN n_words > 0 AND (mean_word_len < ${cfg.minMeanWordLen} OR mean_word_len > ${cfg.maxMeanWordLen}) THEN 'word_len' END,
        |      CASE WHEN n_chars < q1 - ${cfg.iqrK} * (q3 - q1) OR n_chars > q3 + ${cfg.iqrK} * (q3 - q1) THEN 'len_outlier' END
        |    ], x -> x IS NOT NULL) AS rl
-       |  FROM d JOIN s USING (lang)
+       |  FROM d JOIN s USING (${bKeys}lang)
        |)
        |""".stripMargin
   }

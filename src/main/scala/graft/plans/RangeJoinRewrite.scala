@@ -167,6 +167,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => RangeJoinRewrite)
+    e.injectOptimizerRule(_ => ScrubChainFuse)
     e.injectPlannerStrategy(_ => TopKStrategy)
     // graft_normalize(str): NFC + strip marks + simple lowercase (q63)
     e.injectFunction(fn("graft_normalize", classOf[graft.functions.NormalizeText].getName,

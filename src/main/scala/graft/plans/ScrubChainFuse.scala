@@ -1,0 +1,93 @@
+package graft.plans
+
+import graft.scrub.{Scrub, ScrubExpr}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst optimizer rule: fuse the ordered PII-scrub `regexp_replace`
+  * chain into the engine's single-pass [[ScrubExpr]].
+  *
+  * A user who doesn't know the engine writes the scrub the portable way —
+  * five `regexp_replace(...)` steps in [[Scrub.rules]] order (five separate
+  * `withColumn`s, or one nested expression, or the SQL spelling). Executed
+  * literally that is five full regex scans and five UTF8String→String
+  * round-trips per row — the profiled #1 hot spot the fused expression
+  * exists to fix ([[graft.functions.QfCoreExpression]] lineage). This rule
+  * recognizes the exact chain after `CollapseProject` has nested it and
+  * replaces it with `ScrubExpr(subject)`: one conversion, compiled patterns,
+  * and the single-pass necessary-condition trigger scan that lets clean rows
+  * skip every regex. The rewrite is byte-exact — [[ScrubExpr]] executes
+  * [[Scrub.scrubString]], whose trigger-guarded output is proven
+  * byte-identical to the unconditional chain by the ScrubSpec differential
+  * gate (both sides are java.util.regex with identical patterns,
+  * replacements, and order).
+  *
+  * Eligibility is deliberately strict: the chain must contain ALL rules of
+  * [[Scrub.rules]] in spec order (innermost = first rule), each with a
+  * foldable string pattern/replacement equal to the spec's and the default
+  * position argument. Partial chains, reordered chains, or dynamic patterns
+  * are left untouched — order is part of the scrub contract, and fusing a
+  * prefix would change nothing semantically but would silently bless a
+  * non-spec scrub with the engine's fast path. The output contains no
+  * `RegExpReplace`, so the rule cannot re-fire on its own result
+  * (fixed-point safe in the operator-optimization batch).
+  *
+  * Registered via [[GraftExtensions]] (production `spark.sql.extensions`
+  * path) and, for plain sessions the engine is merely handed, idempotently
+  * through the public `experimental.extraOptimizations` hook ([[ensure]]).
+  * Kill switch: `spark.graft.scrub.fuse=false` (default on) — also how the
+  * differential spec times/compares the unfused chain.
+  */
+object ScrubChainFuse extends Rule[LogicalPlan] {
+
+  val ConfKey = "spark.graft.scrub.fuse"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val on =
+      try conf.getConfString(ConfKey, "true").toBoolean
+      catch { case _: Exception => true }
+    if (!on) plan
+    else plan.transformAllExpressions {
+      case e: RegExpReplace => tryFuse(e).getOrElse(e)
+    }
+  }
+
+  private def strLit(e: Expression): Option[String] = e match {
+    case Literal(s: UTF8String, StringType) => Some(s.toString)
+    case _ => None
+  }
+
+  /** Peel the nested chain outermost-first: the outermost replace must be
+    * the LAST spec rule, its subject the one before, …, down to the first
+    * rule whose subject becomes the fused expression's child.
+    */
+  private def tryFuse(top: RegExpReplace): Option[Expression] = {
+    var cur: Expression = top
+    var i = Scrub.rules.length - 1
+    while (i >= 0) {
+      cur match {
+        case RegExpReplace(subj, p, r, pos)
+            if strLit(p).contains(Scrub.rules(i)._2) &&
+              strLit(r).contains(Scrub.rules(i)._3) &&
+              (pos match { case Literal(1, _) => true; case _ => false }) =>
+          cur = subj
+          i -= 1
+        case _ => return None
+      }
+    }
+    Some(ScrubExpr(cur))
+  }
+
+  /** Public-hook registration for sessions built without the engine's
+    * `spark.sql.extensions` entry (mirrors TopK.ensureStrategy). Idempotent.
+    */
+  def ensure(s: SparkSession): Unit = synchronized {
+    if (!s.experimental.extraOptimizations.contains(ScrubChainFuse))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ ScrubChainFuse
+  }
+}

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.core.{Staging, Tables}
+import graft.table.SnapshotTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Exactly-once streaming ingest into the snapshot table — the wiring
+  * between the two halves of §2.10: Structured Streaming as the arrival
+  * path, [[SnapshotTable]] commits as the durable, resumable table state
+  * (north rule: "checkpoints per-partition lineage … and resumes
+  * idempotently from the last committed snapshot").
+  *
+  * `foreachBatch` is at-least-once: after a crash between the sink action
+  * and the checkpoint write, the batch REPLAYS. Exactly-once therefore has
+  * to come from the sink — each micro-batch commits under an idempotent key,
+  * and [[SnapshotTable.append]]'s key check (backed by the link(2) CAS
+  * commit log) turns every replay into a no-op. The key is derived from the
+  * batch CONTENT (min id), not the engine's `batchId`: a batchId is only
+  * stable while its checkpoint lives, so content-derived keys keep the
+  * exactly-once guarantee even across checkpoint loss or a re-listed source
+  * assigning files to different batch numbers — the stronger invariant a
+  * 100 TB ingest wants (same data ⇒ same key ⇒ one commit, ever).
+  */
+object StreamSnapshotSink {
+
+  /** Run `stream` to completion (availableNow), committing every micro-batch
+    * to `table` under `keyPrefix`-`<key(df)>`. Returns the number of batches
+    * the engine delivered (committed + deduplicated replays).
+    */
+  def ingest(stream: DataFrame, table: SnapshotTable, keyPrefix: String,
+      checkpointDir: String, key: DataFrame => String): Long = {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        batches.incrementAndGet()
+        // no data, no commit (and no key computable from an empty batch)
+        if (!df.isEmpty) table.append(df, s"$keyPrefix-${key(df)}")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    batches.get()
+  }
+
+  /** q76: the documents table streamed file-by-file (`maxFilesPerTrigger=1`
+    * over a 4-file range-partitioned staging) into a [[SnapshotTable]]
+    * through the exactly-once sink, then a batch REPLAY of already-committed
+    * content (the crash-between-commit-and-checkpoint case) proving the
+    * idempotent no-op, then the table read back with per-row fingerprints.
+    * The DuckDB oracle over the ORIGINAL parquet value-checks the whole
+    * path: staging, per-batch commits, replay dedup, manifest bookkeeping,
+    * snapshot read. Both staging dir and table root are keyed by the
+    * input's content fingerprint ([[Staging.stagePathFor]]), so re-runs
+    * resume the committed table (all appends no-op) instead of duplicating.
+    */
+  def q76StreamSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val docsFile = java.nio.file.Paths.get(dir, "documents.parquet")
+    val docs = Tables.documents(s, dir)
+
+    // 4-file staging so availableNow delivers 4 micro-batches; range
+    // partitioning by doc_id makes each file's CONTENT deterministic (the
+    // content-derived commit keys then identify files, not listing order)
+    val split = Staging.stageOnce(Staging.stagePathFor("snapsplit", docsFile)) { tmp =>
+      docs.repartitionByRange(4, col("doc_id")).write.parquet(tmp.toString)
+    }
+
+    val t = SnapshotTable(s, Staging.stagePathFor("snapstream", docsFile).toString)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q76-ckpt")
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(split.toString)
+    val delivered = ingest(stream, t, "q76", ckpt.toString,
+      df => df.agg(min("doc_id")).head().getLong(0).toString)
+    Staging.deleteRecursively(ckpt)
+
+    // replay: re-offer already-committed content under its own key — the
+    // exactly-once contract says the table must not change (if it did, the
+    // row counts double and the value gate below fails loudly)
+    val firstKey = s"q76-${s.read.parquet(split.toString).agg(min("doc_id")).head().getLong(0)}"
+    t.append(s.read.parquet(split.toString), firstKey)
+
+    val snaps = t.snapshots()
+    require(snaps.size == 4 && delivered >= 1,
+      s"expected 4 content-keyed commits (got ${snaps.size} after $delivered batches)")
+
+    t.read().select(col("doc_id"), col("lang"), col("source"),
+        sha2(col("text").cast("binary"), 256).as("text_sha"))
+      .orderBy("doc_id")
+  }
+}
+
+object StreamSnapshotSql {
+  /** The streamed-and-committed table must be exactly the original. */
+  val q76StreamSnapshot: String =
+    """SELECT doc_id, lang, source, sha256(text) AS text_sha
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.core.GraftSession
+import graft.operators.PipelineQueries
+import graft.plans.ScrubChainFuse
+import graft.scrub.{Scrub, ScrubExpr}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.RegExpReplace
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates for the [[ScrubChainFuse]] optimizer rule: the rewrite must fire on
+  * the exact spec chain (and only on it), and the fused plan's output must
+  * be byte-identical to the literal chain's.
+  */
+class ScrubFuseSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.local(4, "scrub-fuse-spec")
+
+  private def countExprs(df: DataFrame): (Int, Int) = {
+    var scrubs = 0
+    var regexps = 0
+    df.queryExecution.optimizedPlan.foreach { node =>
+      node.expressions.foreach(_.foreach {
+        case _: ScrubExpr     => scrubs += 1
+        case _: RegExpReplace => regexps += 1
+        case _                =>
+      })
+    }
+    (scrubs, regexps)
+  }
+
+  private def chainDf(base: DataFrame): DataFrame =
+    Scrub.rules.foldLeft(base) { case (df, (_, pat, rep)) =>
+      df.withColumn("content", regexp_replace(col("content"), pat, rep))
+    }.select(col("doc_id"), col("content")).orderBy("doc_id")
+
+  test("the full spec chain fuses into one ScrubExpr (no RegExpReplace left)") {
+    val (scrubs, regexps) = countExprs(
+      chainDf(PipelineQueries.injectedPiiCorpus(spark, dir)))
+    assert(scrubs == 1, s"expected exactly one fused ScrubExpr, saw $scrubs")
+    assert(regexps == 0, s"fusion left $regexps RegExpReplace in the plan")
+  }
+
+  test("fused output is byte-identical to the unfused chain") {
+    val base = PipelineQueries.injectedPiiCorpus(spark, dir)
+    val fused = chainDf(base).collect().map(r => (r.getLong(0), r.getString(1)))
+    spark.conf.set(ScrubChainFuse.ConfKey, "false")
+    val raw =
+      try {
+        val (s, r) = countExprs(chainDf(base))
+        assert(s == 0 && r == Scrub.rules.length,
+          s"kill switch ignored: scrubs=$s regexps=$r")
+        chainDf(base).collect().map(r => (r.getLong(0), r.getString(1)))
+      } finally spark.conf.unset(ScrubChainFuse.ConfKey)
+    assert(fused.sameElements(raw), "fused scrub diverged from the literal chain")
+    // and at least one row actually got scrubbed (the corpus injects PII)
+    val before = base.select(col("doc_id"), col("content")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(fused.toMap != before.toMap, "scrub was a no-op — injection broken?")
+  }
+
+  test("a partial or reordered chain does NOT fuse") {
+    val base = PipelineQueries.injectedPiiCorpus(spark, dir)
+    val partial = Scrub.rules.take(3).foldLeft(base) { case (df, (_, pat, rep)) =>
+      df.withColumn("content", regexp_replace(col("content"), pat, rep))
+    }.select(col("content"))
+    val (s1, r1) = countExprs(partial)
+    assert(s1 == 0 && r1 == 3, s"partial chain fused: scrubs=$s1 regexps=$r1")
+
+    val reordered = Scrub.rules.reverse.foldLeft(base) { case (df, (_, pat, rep)) =>
+      df.withColumn("content", regexp_replace(col("content"), pat, rep))
+    }.select(col("content"))
+    val (s2, r2) = countExprs(reordered)
+    assert(s2 == 0 && r2 == Scrub.rules.length,
+      s"reordered chain fused: scrubs=$s2 regexps=$r2")
+  }
+
+  test("the SQL spelling fuses too (same rule, spark.sql surface)") {
+    // parquet-backed input — a local relation would be eagerly evaluated by
+    // ConvertToLocalRelation and leave no expressions to inspect
+    PipelineQueries.injectedPiiCorpus(spark, dir)
+      .createOrReplaceTempView("scrub_fuse_sql_in")
+    val chain = Scrub.rules.foldLeft("content") { case (acc, (_, pat, rep)) =>
+      // default parser unescapes \-sequences inside '...' (\b = backspace!)
+      // — double them so the parsed literal equals the spec pattern
+      val sqlPat = pat.replace("\\", "\\\\").replace("'", "''")
+      s"regexp_replace($acc, '$sqlPat', '$rep')"
+    }
+    val df = spark.sql(
+      s"SELECT doc_id, $chain AS scrubbed FROM scrub_fuse_sql_in ORDER BY doc_id")
+    val (s, r) = countExprs(df)
+    assert(s == 1 && r == 0, s"SQL chain not fused: scrubs=$s regexps=$r")
+    val row = df.head()
+    val original = spark.sql(
+      "SELECT content FROM scrub_fuse_sql_in ORDER BY doc_id").head().getString(0)
+    assert(row.getString(1) == Scrub.scrubString(original))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.core.{GraftSession, Staging, Tables}
+import graft.streaming.StreamSnapshotSink
+import graft.table.SnapshotTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates for the exactly-once streaming snapshot sink: multi-batch delivery,
+  * content-keyed commit dedup across replays AND across checkpoint loss, and
+  * idempotent re-runs of the whole ingest.
+  */
+class StreamSnapshotSinkSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = GraftSession.local(4, "stream-snapshot-spec")
+
+  test("q76 ingest equals the batch table, is multi-batch, and re-runs resume") {
+    val got = StreamSnapshotSink.q76StreamSnapshot(spark, dir)
+      .collect().map(_.toSeq)
+    val exp = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        sha2(col("text").cast("binary"), 256).as("text_sha"))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(got.length == exp.length && got.sameElements(exp),
+      "streamed+committed table diverged from the batch original")
+
+    // resume: the whole query again — every commit key exists, so the table
+    // must not grow (the q76 require(snaps == 4) would also fail if it did)
+    val again = StreamSnapshotSink.q76StreamSnapshot(spark, dir).count()
+    assert(again == exp.length, s"re-run duplicated rows: $again vs ${exp.length}")
+  }
+
+  test("replay with a lost checkpoint cannot double-commit (content-derived keys)") {
+    import spark.implicits._
+    val data = (0L until 40L).map(i => (i, s"row-$i")).toDF("doc_id", "text")
+    val in = java.nio.file.Files.createTempDirectory("graft-sss-in")
+    data.repartitionByRange(2, col("doc_id")).write
+      .mode("overwrite").parquet(in.toString)
+    val root = java.nio.file.Files.createTempDirectory("graft-sss-tbl")
+    val t = SnapshotTable(spark, root.toString)
+
+    def run(): Long = {
+      // FRESH checkpoint each run = total checkpoint loss between runs; the
+      // engine restarts batch numbering, possibly assigning files to
+      // different batchIds — content keys must still dedup every commit
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-sss-ckpt")
+      val stream = spark.readStream.schema(data.schema)
+        .option("maxFilesPerTrigger", 1).parquet(in.toString)
+      val n = StreamSnapshotSink.ingest(stream, t, "sss", ckpt.toString,
+        df => df.agg(min("doc_id")).head().getLong(0).toString)
+      Staging.deleteRecursively(ckpt)
+      n
+    }
+    val batches1 = run()
+    assert(batches1 == 2, s"expected 2 micro-batches (2 files), got $batches1")
+    assert(t.snapshots().size == 2 && t.read().count() == 40)
+    run() // full replay, zero new commits
+    assert(t.snapshots().size == 2, "checkpoint-loss replay created new snapshots")
+    assert(t.read().count() == 40, "checkpoint-loss replay duplicated rows")
+    Staging.deleteRecursively(root)
+    Staging.deleteRecursively(in)
+  }
+
+  test("empty micro-batches commit nothing") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft-sss-empty-in")
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(in.toString)
+    val root = java.nio.file.Files.createTempDirectory("graft-sss-empty-tbl")
+    val t = SnapshotTable(spark, root.toString)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sss-empty-ckpt")
+    val stream = spark.readStream
+      .schema(Seq.empty[(Long, String)].toDF("doc_id", "text").schema)
+      .parquet(in.toString)
+    StreamSnapshotSink.ingest(stream, t, "sse", ckpt.toString,
+      df => df.agg(min("doc_id")).head().getLong(0).toString)
+    assert(t.snapshots().isEmpty, "an empty batch produced a snapshot commit")
+    Seq(ckpt, root, in).foreach(Staging.deleteRecursively)
+  }
+}
