@@ -47,23 +47,119 @@ object EditDistance {
         levenshtein(col("a_k"), col("b_k")).as("dist"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** Segment-pigeonhole (PassJoin-style) edit-distance join — the scale
+    * path. Length blocking alone degrades to quadratic when lengths
+    * concentrate (every string lands in a handful of bins); the segment
+    * signature makes candidate generation CONTENT-selective:
+    *
+    * Partition every string into m = maxDist+1 contiguous segments (the
+    * canonical split: for length ℓ with q = ℓ/m, r = ℓ%m, the first m−r
+    * segments have length q, the last r have q+1). If lev(a,b) ≤ d, an
+    * optimal edit script has ≤ d edits, each touching at most one segment
+    * of a (a substitution/deletion hits one char; an insertion falls
+    * strictly inside at most one segment's span, boundary insertions split
+    * none) — so by pigeonhole some segment of a survives UNTOUCHED and
+    * appears verbatim in b, shifted by at most the net insertions/deletions
+    * before it, i.e. within ±d of its position in a.
+    *
+    * So: the INDEX side emits each string's m segments keyed
+    * (segIdx, ownLen, segText); the PROBE side, for each partner length
+    * ℓ ∈ [len−d, len] (shorter-or-equal convention — each unordered pair is
+    * generated through the shorter member's segmentation), emits every
+    * substring of the length-ℓ scheme's segment size within the ±d position
+    * window. Candidates are the equi-join on (segIdx, partnerLen, text) —
+    * O(m·d²) probe keys per string, LINEAR in corpus size — deduped per
+    * unordered pair, then verified with the codegen'd `levenshtein`.
+    * Completeness: the window is a superset of the lemma's shift bound, and
+    * verification is exact, so the result provably equals the naive join
+    * (q72's oracle; the differential spec fuzzes both paths).
+    *
+    * Degenerate lengths (ℓ < m ⇒ zero-length segments) stay correct: empty
+    * index segments meet the probe's empty substrings at the same
+    * (segIdx, partnerLen) keys, degrading to pure length blocking for those
+    * few very short strings.
+    */
+  def pairsSegmented(df: DataFrame, idCol: Column, keyCol: Column,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"maxDist ($maxDist) must be >= 1")
+    val m = maxDist + 1
+    val keyed = df.select(idCol.as("id"), keyCol.as("k"))
+      .withColumn("len", length(col("k")))
+
+    // segment geometry of the length-`lenCol` scheme at index i
+    def segStart(lenCol: Column, i: Column): (Column, Column) = {
+      val q = (lenCol / m).cast("int")
+      val r = lenCol % m
+      val firstLong = lit(m) - r // segments [firstLong, m) have length q+1
+      val start = when(i < firstLong, i * q)
+        .otherwise(firstLong * q + (i - firstLong) * (q + lit(1)))
+      val slen = when(i < firstLong, q).otherwise(q + lit(1))
+      (start, slen)
+    }
+
+    val iCol = explode(sequence(lit(0), lit(maxDist)))
+    val idx = {
+      val (start, slen) = segStart(col("len"), col("i"))
+      keyed.withColumn("i", iCol)
+        .select(col("id").as("a_id"), col("k").as("a_k"), col("len").as("a_len"),
+          col("i").as("a_i"), col("k").substr(start + 1, slen).as("a_seg"))
+    }
+    val prb = {
+      val (start, slen) = segStart(col("pl"), col("i"))
+      val lo = greatest(start - maxDist, lit(0))
+      val hi = least(start + maxDist, col("len") - slen)
+      keyed
+        // partner (= indexed, shorter-or-equal side) lengths within reach
+        .withColumn("pl", explode(sequence(greatest(col("len") - maxDist, lit(0)), col("len"))))
+        .withColumn("i", iCol)
+        .withColumn("slen", slen)
+        // Sequence throws on inverted bounds: emit no positions instead
+        // (a window that misses the string entirely has no candidates)
+        .withColumn("p", explode(when(lo <= hi, sequence(lo, hi))))
+        .select(col("id").as("b_id"), col("k").as("b_k"), col("len").as("b_len"),
+          col("pl"), col("i").as("b_i"),
+          col("k").substr(col("p") + 1, col("slen")).as("b_sub"))
+    }
+
+    val cands = idx.join(prb,
+        col("a_i") === col("b_i") && col("a_len") === col("pl") &&
+          col("a_seg") === col("b_sub"))
+      // shorter-or-equal convention makes (a,b) and (b,a) both reachable
+      // only at equal lengths; normalize the orientation and dedup
+      .filter(col("a_len") < col("b_len") ||
+        (col("a_len") === col("b_len") && col("a_id") =!= col("b_id")))
+      .select(
+        least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"),
+        col("a_k"), col("b_k"))
+      .dropDuplicates("a_id", "b_id")
+
+    cands
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("a_k"), col("b_k")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
 }
 
 /** Driver query + oracle for [[EditDistance]]. */
 object EditDistanceQueries {
 
   /** q72: fuzzy near-dup keys over the documents table — the join key is
-    * the first-3-words prefix of the text (variable length, so the length
-    * blocking is live: sf0.01 prefixes span 7-22 chars = bins 1-5 at
-    * width 4). d=3 catches the planted near-duplicates whose edits fall in
-    * the prefix while unrelated word-salad prefixes stay ≥ 4 apart. Oracle
-    * is the naive quadratic join — feasible at verify scale, which is the
-    * point: the blocked plan must return exactly the naive join's pairs.
+    * the first-3-words prefix of the text. d=3 catches the planted
+    * near-duplicates whose edits fall in the prefix while unrelated
+    * word-salad prefixes stay ≥ 4 apart. Runs the segment-pigeonhole plan
+    * ([[EditDistance.pairsSegmented]]): prefix lengths concentrate in a
+    * handful of length bins, so plain length blocking degenerates to a
+    * quadratic in-bin cross product (measured 26.9 s at sf0.1), while the
+    * segment signature keys candidates by CONTENT. Oracle is the naive
+    * quadratic join — feasible at verify scale, which is the point: the
+    * blocked plan must return exactly the naive join's pairs.
     */
   def q72FuzzyJoin(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val key  = array_join(slice(split(col("text"), " "), 1, 3), " ")
-    EditDistance.pairs(docs, col("doc_id"), key, maxDist = 3, binWidth = 4)
+    EditDistance.pairsSegmented(docs, col("doc_id"), key, maxDist = 3)
       .orderBy("a_id", "b_id")
   }
 }

@@ -81,6 +81,33 @@ class BloomFuzzySpec extends AnyFunSuite {
     assert(naive.nonEmpty, "test generator produced no qualifying pairs")
     assert(got == naive,
       s"blocked join diverged: missing=${(naive -- got).take(5)} extra=${(got -- naive).take(5)}")
+
+    val seg = EditDistance.pairsSegmented(df, col("doc_id"), col("k"), maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(seg == naive,
+      s"segmented join diverged: missing=${(naive -- seg).take(5)} extra=${(seg -- naive).take(5)}")
+  }
+
+  test("segmented edit-distance join handles degenerate lengths (empty/short keys)") {
+    import spark.implicits._
+    // lengths 0..5 straddle the m=4 segment scheme's empty-segment regime
+    val rows = Seq((0L, ""), (1L, "a"), (2L, "ab"), (3L, "abc"), (4L, "abcd"),
+      (5L, "abcde"), (6L, "vwxyz"), (7L, "aaaa"), (8L, ""), (9L, "abgde"))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val naive = (for { (ia, ka) <- rows; (ib, kb) <- rows
+      if ia < ib && lev(ka, kb) <= 3 } yield (ia, ib, lev(ka, kb))).toSet
+    val got = EditDistance.pairsSegmented(rows.toDF("doc_id", "k"),
+        col("doc_id"), col("k"), maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(naive.nonEmpty)
+    assert(got == naive,
+      s"degenerate-length divergence: missing=${(naive -- got).take(8)} extra=${(got -- naive).take(8)}")
   }
 
   test("edit-distance pairs rejects a lossy bin width") {
