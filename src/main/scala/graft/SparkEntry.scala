@@ -96,6 +96,7 @@ object SparkEntry {
     "q76_stream_snapshot" -> (graft.streaming.StreamSnapshotSink.q76StreamSnapshot _),
     "q77_incremental_qf"  -> (IncrementalQueries.q77IncrementalQf _),
     "q78_incremental_metrics" -> (IncrementalQueries.q78IncrementalMetrics _),
+    "q79_merge_upsert"    -> (SnapshotQueries.q79MergeUpsert _),
     // flagship pipeline (not SQL-expressible: broadcast-model stages) —
     // driver records rows-only checks for these two.
     "q30_quality_filter"  -> (DocumentsAdapter.qualityFilterQuery _),
@@ -226,6 +227,9 @@ object SparkEntry {
     // replays the q44 heuristics with fences per (input snapshot, lang)
     "q77_incremental_qf"  -> IncrementalSql.q77IncrementalQf,
     "q78_incremental_metrics" -> IncrementalSql.q78IncrementalMetrics,
+    // copy-on-write MERGE: dir-granular rewrite + insert dir + time travel,
+    // value-checked against the CASE-edited original
+    "q79_merge_upsert"    -> SnapshotSql.q79MergeUpsert,
     // (q55_simhash_pairs stays rows-only: simhash signatures aren't
     // DuckDB-expressible; spec-gated like q22)
   )

@@ -42,6 +42,41 @@ object SnapshotQueries {
         throw new IllegalStateException("snapshot diff after v0 is empty")), "since_v0"))
       .orderBy("part", "doc_id")
   }
+
+  /** q79: copy-on-write MERGE value gate. Base table committed in two
+    * appends (even/odd doc_ids — two data dirs, so dir-granular rewrite is
+    * observable), then one merge: every doc_id % 10 == 0 row gets its text
+    * suffixed (updates — these keys are all EVEN, so only the even dir must
+    * be rewritten) and a disjoint set of new keys (doc_id + 1000000) is
+    * inserted. Reads back the latest snapshot with per-row text fingerprints
+    * AND re-reads version 1 (pre-merge) to prove time travel still serves
+    * the unmodified rows. All commit keys idempotent — re-running the query
+    * replays three no-ops. Oracle: the documents original with the same
+    * CASE-edit and insert set replayed in SQL.
+    */
+  def q79MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val root = Staging.stagePathFor("snapmerge",
+      java.nio.file.Paths.get(dir, "documents.parquet"))
+    val t = SnapshotTable(s, root.toString)
+    t.append(docs.filter(col("doc_id") % 2 === 0), "q79-even")
+    t.append(docs.filter(col("doc_id") % 2 =!= 0), "q79-odd")
+
+    val touched = docs.filter(col("doc_id") % 10 === 0)
+    val updates = touched
+      .withColumn("text", concat(col("text"), lit(" updated")))
+      .unionByName(touched
+        .withColumn("text", concat(lit("ins-"), col("doc_id").cast("string")))
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    t.merge(updates, Seq("doc_id"), "q79-merge")
+
+    def fp(df: DataFrame, part: String): DataFrame = df.select(
+      lit(part).as("part"), col("doc_id"), col("lang"), col("source"),
+      sha2(col("text").cast("binary"), 256).as("text_sha"))
+    fp(t.read(), "merged")
+      .unionByName(fp(t.readVersion(1L), "pre_merge")) // time travel
+      .orderBy("part", "doc_id")
+  }
 }
 
 object SnapshotSql {
@@ -55,5 +90,21 @@ object SnapshotSql {
       |  UNION ALL
       |  SELECT 'since_v0', doc_id, lang, source, sha256(text)
       |  FROM documents WHERE doc_id % 2 <> 0
+      |) ORDER BY part, doc_id""".stripMargin
+
+  /** Merged state = CASE-edited originals ∪ inserts; pre-merge state at
+    * version 1 = the untouched original table.
+    */
+  val q79MergeUpsert: String =
+    """SELECT part, doc_id, lang, source, text_sha FROM (
+      |  SELECT 'merged' AS part, doc_id, lang, source,
+      |    sha256(CASE WHEN doc_id % 10 = 0 THEN text || ' updated' ELSE text END) AS text_sha
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'merged', doc_id + 1000000, lang, source,
+      |    sha256('ins-' || CAST(doc_id AS VARCHAR))
+      |  FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT 'pre_merge', doc_id, lang, source, sha256(text) FROM documents
       |) ORDER BY part, doc_id""".stripMargin
 }

@@ -165,21 +165,33 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
           throw new IllegalStateException(
             s"staged data dir '$d' does not exist (expired by orphan GC?) — refusing to commit")
       }
-    commitLoop(commitKey, added)
+    commitLoop(commitKey, added, Seq.empty)
   }
 
   @annotation.tailrec
-  private def commitLoop(commitKey: String, added: Seq[String]): Snapshot = {
+  private def commitLoop(commitKey: String, added: Seq[String],
+      removed: Seq[String]): Snapshot = {
     val cur = latest()
     // another writer may have committed our key while we staged
     findByKey(commitKey) match {
       case Some(existing) => existing
       case None =>
+        val liveNow = cur.map(_.live).getOrElse(Seq.empty)
+        // Optimistic-concurrency validation (re-run on every CAS retry): a
+        // rewrite commit replaces specific dirs; if a concurrent committer
+        // already replaced one of them, our rewrite was computed against a
+        // stale snapshot and retrying the rename would silently resurrect
+        // overwritten rows — fail loudly instead (Iceberg's validation
+        // exception; the caller re-runs the merge against the new snapshot).
+        if (!removed.forall(liveNow.contains))
+          throw new java.util.ConcurrentModificationException(
+            s"rewrite conflict: dirs ${removed.filterNot(liveNow.contains).mkString(",")} " +
+              "are no longer live — recompute the merge against the latest snapshot")
         val next = Snapshot(
           version = cur.map(_.version + 1).getOrElse(0L),
           commitKey = commitKey,
           added = added,
-          live = cur.map(_.live).getOrElse(Seq.empty) ++ added)
+          live = liveNow.filterNot(removed.toSet) ++ added)
         val staged = logDir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
         Files.write(staged, render(next).getBytes("UTF-8"))
         // Atomic publish: exactly one writer can claim version slot n.
@@ -200,7 +212,59 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
           synchronized { if (logCache.size == next.version) logCache += next }
           next
         }
-        else commitLoop(commitKey, added) // lost the race; re-read log, retry
+        else commitLoop(commitKey, added, removed) // lost the race; re-read log, retry
+    }
+  }
+
+  /** Copy-on-write MERGE (upsert) by key: rows of `updates` replace live
+    * rows with the same `keyCols` values; unmatched update keys are
+    * inserts. Only data dirs that actually CONTAIN a matching key are
+    * rewritten (minus their matched rows); all update rows land in one new
+    * dir; the commit atomically swaps the affected dirs for their rewrites
+    * (Iceberg copy-on-write semantics). Untouched dirs are not read beyond
+    * the single match-scan and not rewritten — at scale the match-scan is
+    * the one full pass (file-stats pruning would narrow it further), and
+    * the rewrite cost is proportional to the AFFECTED data, not the table.
+    *
+    * Time travel is preserved: replaced dirs stay on disk, referenced by
+    * older manifests ([[expireOrphans]] never touches dirs any snapshot
+    * added). Idempotent by `commitKey` like [[append]]. Concurrent merges
+    * conflict-check at commit time (see [[commitLoop]]) — losers fail
+    * loudly rather than resurrect replaced rows.
+    */
+  def merge(updates: DataFrame, keyCols: Seq[String], commitKey: String): Snapshot = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    findByKey(commitKey) match {
+      case Some(existing) => existing
+      case None =>
+        val liveDirs = latest().map(_.live).getOrElse(Seq.empty)
+        if (liveDirs.isEmpty) append(updates, commitKey)
+        else {
+          val keys = updates.select(keyCols.map(col): _*).distinct()
+          // one distributed pass finds the files holding matched keys; the
+          // collect is file-name-scale (metadata), never row data
+          val matchedFiles = readDirs(liveDirs)
+            .withColumn("__graft_file", input_file_name())
+            .join(keys, keyCols, "left_semi")
+            .select("__graft_file").distinct()
+            .collect().map(_.getString(0))
+          // dir names embed a UUID slug — unambiguous as path segments
+          val affected = liveDirs.filter(d => matchedFiles.exists(_.contains(s"/$d/")))
+          val slug = java.util.UUID.randomUUID().toString.take(8)
+          val rewritten = affected.zipWithIndex.flatMap { case (d, i) =>
+            val name = s"$commitKey-rw$i-$slug"
+            readDirs(Seq(d)).join(keys, keyCols, "left_anti")
+              .write.mode("errorifexists").parquet(dataDir.resolve(name).toString)
+            // a dir whose every row was matched rewrites to zero part files —
+            // nothing to reference (and nothing parquet could re-read)
+            val hasData = Using.resource(Files.list(dataDir.resolve(name)))(
+              _.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet")))
+            if (hasData) Some(name) else { deleteRecursively(dataDir.resolve(name)); None }
+          }
+          val upDir = s"$commitKey-up-$slug"
+          updates.write.mode("errorifexists").parquet(dataDir.resolve(upDir).toString)
+          commitLoop(commitKey, rewritten :+ upDir, removed = affected)
+        }
     }
   }
 

@@ -137,6 +137,54 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.read().count() == 20, "live data must survive expiry")
   }
 
+  test("merge upsert: dir-granular rewrite, inserts, time travel, idempotence") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val t = SnapshotTable(spark, tmp())
+    // two dirs: ids 0-49 and 50-99
+    t.append((0L until 50L).map(i => (i, s"v$i")).toDF("id", "payload"), "lo")
+    t.append((50L until 100L).map(i => (i, s"v$i")).toDF("id", "payload"), "hi")
+    val loDirs = t.latest().get.live.filter(_.startsWith("lo"))
+    // updates touch ONLY the lo dir (+ brand-new keys)
+    val updates = Seq((10L, "U10"), (20L, "U20"), (200L, "NEW")).toDF("id", "payload")
+    val s = t.merge(updates, Seq("id"), "m1")
+    assert(s.version == 2)
+    // lo dir replaced, hi dir untouched
+    assert(!s.live.exists(loDirs.contains), "matched dir not rewritten")
+    assert(s.live.exists(_.startsWith("hi")), "unmatched dir was rewritten")
+    val rows = t.read().as[(Long, String)].collect().toMap
+    assert(rows.size == 101 && rows(10L) == "U10" && rows(20L) == "U20" &&
+      rows(200L) == "NEW" && rows(11L) == "v11" && rows(99L) == "v99")
+    // time travel still serves the pre-merge state
+    assert(t.readVersion(1).as[(Long, String)].collect().toMap.apply(10L) == "v10")
+    // idempotent replay
+    assert(t.merge(updates, Seq("id"), "m1").version == 2 && t.read().count() == 101)
+    // full-dir match rewrites to an empty dir that must NOT be referenced
+    val wipeLo = (0L until 50L).map(i => (i, "W")).toDF("id", "payload")
+    val s2 = t.merge(wipeLo, Seq("id"), "m2")
+    assert(t.read().count() == 101)
+    assert(s2.live.forall(d => Files.list(
+      java.nio.file.Paths.get(t.root, "data", d)).anyMatch(_.toString.endsWith(".parquet"))))
+  }
+
+  test("merge conflict: rewriting a dir another commit already replaced fails loudly") {
+    import spark.implicits._
+    val t = SnapshotTable(spark, tmp())
+    t.append((0L until 10L).map(i => (i, s"v$i")).toDF("id", "payload"), "base")
+    val staleLive = t.latest().get.live
+    // a concurrent merge lands first and replaces the base dir
+    t.merge(Seq((1L, "A")).toDF("id", "payload"), Seq("id"), "winner")
+    // a commit computed against the stale snapshot must not resurrect rows
+    // (commitLoop is private — drive the validation path reflectively)
+    intercept[java.util.ConcurrentModificationException] {
+      val m = classOf[SnapshotTable].getDeclaredMethods
+        .find(_.getName == "commitLoop").get
+      m.setAccessible(true)
+      try m.invoke(t, "loser", Seq.empty[String], staleLive)
+      catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
+    }
+  }
+
   test("incremental runner processes each snapshot exactly once across reruns") {
     val in = SnapshotTable(spark, tmp())
     val out = SnapshotTable(spark, tmp())
