@@ -97,6 +97,8 @@ object SparkEntry {
     "q77_incremental_qf"  -> (IncrementalQueries.q77IncrementalQf _),
     "q78_incremental_metrics" -> (IncrementalQueries.q78IncrementalMetrics _),
     "q79_merge_upsert"    -> (SnapshotQueries.q79MergeUpsert _),
+    "q80_delete_where"    -> (SnapshotQueries.q80DeleteWhere _),
+    "q81_compact"         -> (SnapshotQueries.q81Compact _),
     // flagship pipeline (not SQL-expressible: broadcast-model stages) —
     // driver records rows-only checks for these two.
     "q30_quality_filter"  -> (DocumentsAdapter.qualityFilterQuery _),
@@ -230,6 +232,10 @@ object SparkEntry {
     // copy-on-write MERGE: dir-granular rewrite + insert dir + time travel,
     // value-checked against the CASE-edited original
     "q79_merge_upsert"    -> SnapshotSql.q79MergeUpsert,
+    // copy-on-write DELETE with time travel; compaction must be logically
+    // invisible (content byte-equal, hidden from incremental reads)
+    "q80_delete_where"    -> SnapshotSql.q80DeleteWhere,
+    "q81_compact"         -> SnapshotSql.q81Compact,
     // (q55_simhash_pairs stays rows-only: simhash signatures aren't
     // DuckDB-expressible; spec-gated like q22)
   )

@@ -77,6 +77,51 @@ object SnapshotQueries {
       .unionByName(fp(t.readVersion(1L), "pre_merge")) // time travel
       .orderBy("part", "doc_id")
   }
+
+  /** q80: copy-on-write DELETE value gate. Two-dir base (q79's layout), one
+    * `deleteWhere(doc_id % 3 == 0)` — matched rows vanish from the latest
+    * snapshot, survive at the pre-delete version (time travel), and the
+    * oracle replays the predicate over the original. Idempotent commit keys
+    * throughout.
+    */
+  def q80DeleteWhere(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val root = Staging.stagePathFor("snapdel",
+      java.nio.file.Paths.get(dir, "documents.parquet"))
+    val t = SnapshotTable(s, root.toString)
+    t.append(docs.filter(col("doc_id") % 2 === 0), "q80-even")
+    t.append(docs.filter(col("doc_id") % 2 =!= 0), "q80-odd")
+    t.deleteWhere(col("doc_id") % 3 === 0, "q80-del")
+    def fp(df: DataFrame, part: String): DataFrame = df.select(
+      lit(part).as("part"), col("doc_id"), col("lang"), col("source"),
+      sha2(col("text").cast("binary"), 256).as("text_sha"))
+    fp(t.read(), "deleted")
+      .unionByName(fp(t.readVersion(1L), "pre_delete"))
+      .orderBy("part", "doc_id")
+  }
+
+  /** q81: compaction value gate. Two-dir base compacted into ONE dir —
+    * logical content must be byte-identical to the original (the oracle),
+    * and the query asserts the physical claims in-line: exactly one live
+    * dir after compaction, and `readSince(latest-before)` empty (op=compact
+    * snapshots are invisible to incremental readers).
+    */
+  def q81Compact(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val root = Staging.stagePathFor("snapcompact",
+      java.nio.file.Paths.get(dir, "documents.parquet"))
+    val t = SnapshotTable(s, root.toString)
+    t.append(docs.filter(col("doc_id") % 2 === 0), "q81-even")
+    t.append(docs.filter(col("doc_id") % 2 =!= 0), "q81-odd")
+    val before = t.latest().get.version
+    val snap = t.compact("q81-compact", numFiles = 2)
+    require(snap.live.size == 1, s"compaction left ${snap.live.size} live dirs")
+    require(t.readSince(before).isEmpty,
+      "incremental read surfaced a compaction as new data")
+    t.read().select(col("doc_id"), col("lang"), col("source"),
+        sha2(col("text").cast("binary"), 256).as("text_sha"))
+      .orderBy("doc_id")
+  }
 }
 
 object SnapshotSql {
@@ -107,4 +152,16 @@ object SnapshotSql {
       |  UNION ALL
       |  SELECT 'pre_merge', doc_id, lang, source, sha256(text) FROM documents
       |) ORDER BY part, doc_id""".stripMargin
+
+  val q80DeleteWhere: String =
+    """SELECT part, doc_id, lang, source, text_sha FROM (
+      |  SELECT 'deleted' AS part, doc_id, lang, source, sha256(text) AS text_sha
+      |  FROM documents WHERE doc_id % 3 <> 0
+      |  UNION ALL
+      |  SELECT 'pre_delete', doc_id, lang, source, sha256(text) FROM documents
+      |) ORDER BY part, doc_id""".stripMargin
+
+  val q81Compact: String =
+    """SELECT doc_id, lang, source, sha256(text) AS text_sha
+      |FROM documents ORDER BY doc_id""".stripMargin
 }

@@ -53,7 +53,13 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
   Files.createDirectories(logDir)
   Files.createDirectories(dataDir)
 
-  case class Snapshot(version: Long, commitKey: String, added: Seq[String], live: Seq[String])
+  /** `op` distinguishes logical-content commits ("append" — plain appends,
+    * merges, deletes: their `added` dirs carry changed data) from physical
+    * reorganizations ("compact": content identical, `added` is just the new
+    * layout) so incremental readers can skip the latter.
+    */
+  case class Snapshot(version: Long, commitKey: String, added: Seq[String],
+      live: Seq[String], op: String = "append")
 
   private def manifestPath(v: Long): Path = logDir.resolve(f"v$v%08d.json")
 
@@ -114,14 +120,18 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
     }
     def strs(raw: String): Seq[String] =
       "\"([^\"]*)\"".r.findAllMatchIn(raw).map(_.group(1)).toSeq
+    // `op` is optional for manifests written before it existed — they are
+    // all plain appends by construction
+    val op = "\"op\"\\s*:\\s*\"([^\"]*)\"".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("append")
     Snapshot(field("version").toLong,
       strs(field("commitKey")).headOption.getOrElse(""),
-      strs(field("added")), strs(field("live")))
+      strs(field("added")), strs(field("live")), op)
   }
 
   private def render(s: Snapshot): String = {
     def arr(xs: Seq[String]) = xs.map(x => "\"" + x + "\"").mkString("[", ",", "]")
-    s"""{"version": ${s.version}, "commitKey": "${s.commitKey}", "added": ${arr(s.added)}, "live": ${arr(s.live)}}"""
+    s"""{"version": ${s.version}, "commitKey": "${s.commitKey}", "op": "${s.op}", "added": ${arr(s.added)}, "live": ${arr(s.live)}}"""
   }
 
   def snapshots(): Seq[Snapshot] = synchronized { sync(); logCache.toSeq }
@@ -170,7 +180,7 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
 
   @annotation.tailrec
   private def commitLoop(commitKey: String, added: Seq[String],
-      removed: Seq[String]): Snapshot = {
+      removed: Seq[String], op: String = "append"): Snapshot = {
     val cur = latest()
     // another writer may have committed our key while we staged
     findByKey(commitKey) match {
@@ -191,7 +201,8 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
           version = cur.map(_.version + 1).getOrElse(0L),
           commitKey = commitKey,
           added = added,
-          live = liveNow.filterNot(removed.toSet) ++ added)
+          live = liveNow.filterNot(removed.toSet) ++ added,
+          op = op)
         val staged = logDir.resolve(s".tmp-${java.util.UUID.randomUUID()}")
         Files.write(staged, render(next).getBytes("UTF-8"))
         // Atomic publish: exactly one writer can claim version slot n.
@@ -212,7 +223,7 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
           synchronized { if (logCache.size == next.version) logCache += next }
           next
         }
-        else commitLoop(commitKey, added, removed) // lost the race; re-read log, retry
+        else commitLoop(commitKey, added, removed, op) // lost the race; re-read log, retry
     }
   }
 
@@ -268,6 +279,62 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** Copy-on-write DELETE: removes live rows matching `cond` (3VL: a null
+    * predicate does NOT delete, mirroring SQL `DELETE WHERE`). Same
+    * dir-granular rewrite, idempotence, and conflict semantics as [[merge]];
+    * dirs with no matching row are untouched.
+    */
+  def deleteWhere(cond: org.apache.spark.sql.Column, commitKey: String): Snapshot = {
+    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
+    findByKey(commitKey) match {
+      case Some(existing) => existing
+      case None =>
+        val liveDirs = latest().map(_.live).getOrElse(Seq.empty)
+        if (liveDirs.isEmpty)
+          throw new IllegalStateException("deleteWhere on an empty table")
+        val hit = coalesce(cond, lit(false))
+        val matchedFiles = readDirs(liveDirs)
+          .withColumn("__graft_file", input_file_name())
+          .filter(hit).select("__graft_file").distinct()
+          .collect().map(_.getString(0))
+        val affected = liveDirs.filter(d => matchedFiles.exists(_.contains(s"/$d/")))
+        if (affected.isEmpty) latest().get // nothing matched: no new snapshot
+        else {
+          val slug = java.util.UUID.randomUUID().toString.take(8)
+          val rewritten = affected.zipWithIndex.flatMap { case (d, i) =>
+            val name = s"$commitKey-rw$i-$slug"
+            readDirs(Seq(d)).filter(not(hit))
+              .write.mode("errorifexists").parquet(dataDir.resolve(name).toString)
+            val hasData = Using.resource(Files.list(dataDir.resolve(name)))(
+              _.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet")))
+            if (hasData) Some(name) else { deleteRecursively(dataDir.resolve(name)); None }
+          }
+          commitLoop(commitKey, rewritten, removed = affected)
+        }
+    }
+  }
+
+  /** Compaction (maintenance): rewrite the WHOLE live set into `numFiles`
+    * size-balanced parquet files in one dir — the small-file fix a
+    * high-frequency commit stream needs (thousands of per-commit dirs make
+    * every read pay file-listing and per-file open costs). Logical content
+    * is untouched; the commit carries op="compact" so [[readSince]] /
+    * [[readAddedOf]]-based incremental consumers skip it. Time travel to
+    * pre-compaction versions still works (old dirs stay referenced).
+    */
+  def compact(commitKey: String, numFiles: Int = 1): Snapshot = {
+    findByKey(commitKey) match {
+      case Some(existing) => existing
+      case None =>
+        val liveDirs = latest().map(_.live).getOrElse(Seq.empty)
+        require(liveDirs.nonEmpty, "compact on an empty table")
+        val name = s"$commitKey-cp-${java.util.UUID.randomUUID().toString.take(8)}"
+        readDirs(liveDirs).repartition(numFiles)
+          .write.mode("errorifexists").parquet(dataDir.resolve(name).toString)
+        commitLoop(commitKey, Seq(name), removed = liveDirs, op = "compact")
+    }
+  }
+
   private def readDirs(dirs: Seq[String]): DataFrame = {
     require(dirs.nonEmpty, "empty snapshot read")
     spark.read.parquet(dirs.map(d => dataDir.resolve(d).toString): _*)
@@ -284,10 +351,14 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
   }
 
   /** Incremental read: rows added AFTER `sinceVersion` (exclusive), up to
-    * the latest snapshot — the resume path of the pipeline.
+    * the latest snapshot — the resume path of the pipeline. Compaction
+    * snapshots are skipped: their `added` is a physical re-layout of rows
+    * previous snapshots already delivered.
     */
   def readSince(sinceVersion: Long): Option[DataFrame] = {
-    val newDirs = snapshots().filter(_.version > sinceVersion).flatMap(_.added)
+    val newDirs = snapshots()
+      .filter(s => s.version > sinceVersion && s.op != "compact")
+      .flatMap(_.added)
     if (newDirs.isEmpty) None else Some(readDirs(newDirs))
   }
 

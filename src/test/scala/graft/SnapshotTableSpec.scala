@@ -180,9 +180,63 @@ class SnapshotTableSpec extends AnyFunSuite {
       val m = classOf[SnapshotTable].getDeclaredMethods
         .find(_.getName == "commitLoop").get
       m.setAccessible(true)
-      try m.invoke(t, "loser", Seq.empty[String], staleLive)
+      try m.invoke(t, "loser", Seq.empty[String], staleLive, "append")
       catch { case e: java.lang.reflect.InvocationTargetException => throw e.getCause }
     }
+  }
+
+  test("deleteWhere: 3VL predicate, dir granularity, no-match no-op, time travel") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val t = SnapshotTable(spark, tmp())
+    // payload null for id 5 — a null predicate must NOT delete (SQL 3VL)
+    t.append(Seq((1L, "a"), (5L, null: String)).toDF("id", "payload"), "lo")
+    t.append(Seq((10L, "b"), (11L, "kill")).toDF("id", "payload"), "hi")
+    val s = t.deleteWhere(col("payload") === "kill", "d1")
+    assert(s.version == 2)
+    assert(s.live.exists(_.startsWith("lo")), "unmatched dir was rewritten")
+    val rows = t.read().select("id").as[Long].collect().toSet
+    assert(rows == Set(1L, 5L, 10L), s"wrong survivors: $rows")
+    assert(t.readVersion(1).count() == 4) // time travel: pre-delete intact
+    // no-match delete: no new snapshot at all
+    assert(t.deleteWhere(col("payload") === "absent", "d2").version == 2)
+    assert(t.snapshots().size == 3)
+    // idempotent replay of the real delete
+    assert(t.deleteWhere(col("payload") === "kill", "d1").version == 2)
+  }
+
+  test("compact: content identical, one live dir, invisible to incremental reads") {
+    import spark.implicits._
+    val t = SnapshotTable(spark, tmp())
+    t.append((0L until 30L).map(i => (i, s"v$i")).toDF("id", "payload"), "a")
+    t.append((30L until 60L).map(i => (i, s"v$i")).toDF("id", "payload"), "b")
+    val preVersion = t.latest().get.version
+    val preRows = t.read().as[(Long, String)].collect().toSet
+    val s = t.compact("c1", numFiles = 1)
+    assert(s.op == "compact" && s.live.size == 1)
+    assert(t.read().as[(Long, String)].collect().toSet == preRows)
+    assert(t.readSince(preVersion).isEmpty, "compaction leaked into readSince")
+    // appends after the compaction flow through incremental reads again
+    t.append(Seq((100L, "new")).toDF("id", "payload"), "c")
+    assert(t.readSince(preVersion).get.count() == 1)
+    // time travel across the compaction
+    assert(t.readVersion(0).count() == 30)
+    // a fresh instance (cold log read) sees the same op field
+    assert(SnapshotTable(spark, t.root).snapshots().map(_.op) ==
+      Seq("append", "append", "compact", "append"))
+  }
+
+  test("manifests without an op field (pre-compaction writers) parse as appends") {
+    import spark.implicits._
+    val t = SnapshotTable(spark, tmp())
+    t.append(Seq((1L, "x")).toDF("id", "payload"), "old")
+    val mf = java.nio.file.Paths.get(t.root, "_log", "v00000000.json")
+    val legacy = new String(Files.readAllBytes(mf), "UTF-8")
+      .replaceAll("\"op\"\\s*:\\s*\"[^\"]*\",\\s*", "")
+    Files.write(mf, legacy.getBytes("UTF-8"))
+    val fresh = SnapshotTable(spark, t.root)
+    assert(fresh.latest().get.op == "append")
+    assert(fresh.readSince(-1L).get.count() == 1)
   }
 
   test("incremental runner processes each snapshot exactly once across reruns") {
