@@ -229,18 +229,30 @@ object Bench {
     val probeStart = Map(2 -> cpuProbe(2), 8 -> cpuProbe(8), 32 -> cpuProbe(32))
 
     // ---- corpus materialization (excluded from timing) ----
+    // Corpora are deterministic (seeded generator), so they are staged ONCE
+    // at a parameter-keyed path and REUSED across invocations — repeated
+    // bench runs used to leave a fresh multi-GB corpus per invocation in
+    // the tmpdir until the disk filled (and the writeback of each
+    // regeneration poisoned the same invocation's own timed windows).
+    // Staging.stageOnce's atomic publish also makes concurrent invocations
+    // safe. Only the small per-run outputs live in `work` (deleted below).
+    def stagedCorpus(spark: org.apache.spark.sql.SparkSession,
+        n: Long, seed: Long, parts: Int): String =
+      graft.core.Staging.stageOnce(java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft-bench-corpus-$n-$seed-$parts")) {
+        tmp => Corpus.generate(spark, n, seed, parts).toDF()
+          .write.parquet(tmp.toString)
+      }.toString
     var spark = GraftSession.local(topLevel, "graft-bench-gen")
     // 128 output files: parquet row groups are the split floor, so input
     // parallelism = file count; 128 gives 4 balanced waves at 32 threads
-    Corpus.generate(spark, nFiles, 42L, 128).toDF()
-      .write.mode("overwrite").parquet(s"$work/corpus")
+    val corpusPath = stagedCorpus(spark, nFiles, 42L, 128)
     // warmup corpus: JIT/codegen warmth needs iterations, not volume — cap
     // it so warmup runs don't grow with the main corpus
-    Corpus.generate(spark, math.min(nFiles / 6, 25000L), 7L, 32).toDF()
-      .write.mode("overwrite").parquet(s"$work/corpus_small")
+    val corpusSmallPath = stagedCorpus(spark, math.min(nFiles / 6, 25000L), 7L, 32)
     // JIT warmup on the small corpus (one JVM serves all levels, so Janino
     // codegen caches and C2-compiled hot loops carry across sessions)
-    runPipeline(spark, s"$work/corpus_small", s"$work/warm0")
+    runPipeline(spark, corpusSmallPath, s"$work/warm0")
     spark.stop()
 
     // Levels are INTERLEAVED across rounds: the shared host has multi-minute
@@ -252,8 +264,8 @@ object Bench {
     val samples = scala.collection.mutable.ArrayBuffer[Sample]()
     (1 to rounds).foreach { r =>
       levels.foreach { lv =>
-        samples += validatedSample(lv, r, "gate", s"$work/corpus",
-          s"$work/corpus_small", () => { val ok = retriesLeft > 0; if (ok) retriesLeft -= 1; ok })
+        samples += validatedSample(lv, r, "gate", corpusPath,
+          corpusSmallPath, () => { val ok = retriesLeft > 0; if (ok) retriesLeft -= 1; ok })
       }
     }
     val probeEnd = Map(2 -> cpuProbe(2), 8 -> cpuProbe(8), 32 -> cpuProbe(32))
@@ -270,13 +282,12 @@ object Bench {
     val scaleSamples = scala.collection.mutable.ArrayBuffer[Sample]()
     if (scaleFiles > 0) {
       spark = GraftSession.local(topLevel, "graft-bench-scale-gen")
-      Corpus.generate(spark, scaleFiles, 42L, 256).toDF()
-        .write.mode("overwrite").parquet(s"$work/corpus_1m")
+      val corpus1mPath = stagedCorpus(spark, scaleFiles, 42L, 256)
       spark.stop()
       (1 to 2).foreach { r =>
         scaleLevels.foreach { lv =>
-          scaleSamples += validatedSample(lv, r, "scale", s"$work/corpus_1m",
-            s"$work/corpus_small",
+          scaleSamples += validatedSample(lv, r, "scale", corpus1mPath,
+            corpusSmallPath,
             () => { val ok = scaleRetriesLeft > 0; if (ok) scaleRetriesLeft -= 1; ok })
         }
       }
@@ -458,5 +469,22 @@ object Bench {
       Files.writeString(Paths.get(mdPath), md)
       System.err.println(s"[bench] markdown artifact: $mdPath")
     } catch { case _: Throwable => () }
+
+    // The work dir only holds this invocation's pipeline outputs (the
+    // staged corpora live at their shared parameter-keyed paths and are
+    // intentionally KEPT for the next invocation) — ~1-2 GB per run that
+    // used to accumulate until the disk filled. The markdown artifact is
+    // re-homed beside the corpora so it survives the cleanup.
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_KEEP_WORK")) {
+      val keepMd = Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft-bench-md-${System.currentTimeMillis()}.md")
+      try {
+        if (mdPath.startsWith(work) && Files.exists(Paths.get(mdPath)))
+          Files.copy(Paths.get(mdPath), keepMd)
+        graft.core.Staging.deleteRecursively(Paths.get(work))
+        if (Files.exists(keepMd))
+          System.err.println(s"[bench] markdown artifact kept at: $keepMd")
+      } catch { case _: Throwable => () }
+    }
   }
 }

@@ -99,6 +99,7 @@ object SparkEntry {
     "q79_merge_upsert"    -> (SnapshotQueries.q79MergeUpsert _),
     "q80_delete_where"    -> (SnapshotQueries.q80DeleteWhere _),
     "q81_compact"         -> (SnapshotQueries.q81Compact _),
+    "q82_schema_evolve"   -> (SnapshotQueries.q82SchemaEvolve _),
     // flagship pipeline (not SQL-expressible: broadcast-model stages) —
     // driver records rows-only checks for these two.
     "q30_quality_filter"  -> (DocumentsAdapter.qualityFilterQuery _),
@@ -236,6 +237,9 @@ object SparkEntry {
     // invisible (content byte-equal, hidden from incremental reads)
     "q80_delete_where"    -> SnapshotSql.q80DeleteWhere,
     "q81_compact"         -> SnapshotSql.q81Compact,
+    // additive schema evolution: merged read over mixed-schema dirs AND the
+    // union schema materialized by compaction, both value-checked
+    "q82_schema_evolve"   -> SnapshotSql.q82SchemaEvolve,
     // (q55_simhash_pairs stays rows-only: simhash signatures aren't
     // DuckDB-expressible; spec-gated like q22)
   )

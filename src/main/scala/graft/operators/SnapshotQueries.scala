@@ -122,6 +122,35 @@ object SnapshotQueries {
         sha2(col("text").cast("binary"), 256).as("text_sha"))
       .orderBy("doc_id")
   }
+
+  /** q82: additive schema evolution. v0 commits the even rows WITHOUT the
+    * `quality` column; v1 commits the odd rows WITH it (a later pipeline
+    * version started emitting a score). `readMerged` returns the union
+    * schema with nulls for pre-evolution rows — then a compaction rewrites
+    * the mixed-schema dirs into one (materializing the union schema), and
+    * the final read must still be value-identical. Oracle: the original
+    * with the same CASE-null column.
+    */
+  def q82SchemaEvolve(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val root = Staging.stagePathFor("snapevolve",
+      java.nio.file.Paths.get(dir, "documents.parquet"))
+    val t = SnapshotTable(s, root.toString)
+    t.append(docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"), col("source"), col("text")), "q82-v0")
+    t.append(docs.filter(col("doc_id") % 2 =!= 0)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        length(col("text")).cast("double").as("quality")), "q82-v1")
+    def fp(df: DataFrame, part: String): DataFrame = df.select(
+      lit(part).as("part"), col("doc_id"), col("lang"),
+      sha2(col("text").cast("binary"), 256).as("text_sha"), col("quality"))
+    // capture the MIXED-schema read before compaction (lazy; the replaced
+    // dirs stay on disk for time travel, so evaluation after compact is fine)
+    val mixed = fp(t.readMerged(), "mixed")
+    t.compact("q82-compact")
+    mixed.unionByName(fp(t.readMerged(), "compacted"))
+      .orderBy("part", "doc_id")
+  }
 }
 
 object SnapshotSql {
@@ -164,4 +193,14 @@ object SnapshotSql {
   val q81Compact: String =
     """SELECT doc_id, lang, source, sha256(text) AS text_sha
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Both read states (mixed dirs / after compaction) must be the original
+    * with the evolved column null for pre-evolution (even) rows.
+    */
+  val q82SchemaEvolve: String =
+    """SELECT p.part, d.doc_id, d.lang, sha256(d.text) AS text_sha,
+      |  CASE WHEN d.doc_id % 2 = 0 THEN NULL
+      |       ELSE CAST(length(d.text) AS DOUBLE) END AS quality
+      |FROM documents d, (VALUES ('compacted'), ('mixed')) p(part)
+      |ORDER BY part, doc_id""".stripMargin
 }

@@ -253,8 +253,9 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
         else {
           val keys = updates.select(keyCols.map(col): _*).distinct()
           // one distributed pass finds the files holding matched keys; the
-          // collect is file-name-scale (metadata), never row data
-          val matchedFiles = readDirs(liveDirs)
+          // collect is file-name-scale (metadata), never row data (merged
+          // read: the scan must survive schema-evolved dir mixes)
+          val matchedFiles = readDirsMerged(liveDirs)
             .withColumn("__graft_file", input_file_name())
             .join(keys, keyCols, "left_semi")
             .select("__graft_file").distinct()
@@ -293,7 +294,7 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
         if (liveDirs.isEmpty)
           throw new IllegalStateException("deleteWhere on an empty table")
         val hit = coalesce(cond, lit(false))
-        val matchedFiles = readDirs(liveDirs)
+        val matchedFiles = readDirsMerged(liveDirs)
           .withColumn("__graft_file", input_file_name())
           .filter(hit).select("__graft_file").distinct()
           .collect().map(_.getString(0))
@@ -329,7 +330,10 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
         val liveDirs = latest().map(_.live).getOrElse(Seq.empty)
         require(liveDirs.nonEmpty, "compact on an empty table")
         val name = s"$commitKey-cp-${java.util.UUID.randomUUID().toString.take(8)}"
-        readDirs(liveDirs).repartition(numFiles)
+        // merged read: compacting a schema-evolved table materializes the
+        // union schema (nulls for pre-evolution rows) instead of silently
+        // keeping whichever dir's schema the sampler picked
+        readDirsMerged(liveDirs).repartition(numFiles)
           .write.mode("errorifexists").parquet(dataDir.resolve(name).toString)
         commitLoop(commitKey, Seq(name), removed = liveDirs, op = "compact")
     }
@@ -340,8 +344,28 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
     spark.read.parquet(dirs.map(d => dataDir.resolve(d).toString): _*)
   }
 
+  /** Like [[readDirs]] but with parquet footer-schema merging — the read
+    * path that tolerates ADDITIVE schema evolution across commits (a column
+    * added in a later commit reads as null from older files). Costs one
+    * footer read per file instead of per sampled file; row data is
+    * unaffected.
+    */
+  private def readDirsMerged(dirs: Seq[String]): DataFrame = {
+    require(dirs.nonEmpty, "empty snapshot read")
+    spark.read.option("mergeSchema", "true")
+      .parquet(dirs.map(d => dataDir.resolve(d).toString): _*)
+  }
+
   /** Full table at the latest snapshot. */
   def read(): DataFrame = readDirs(latest().map(_.live).getOrElse(Seq.empty))
+
+  /** Full table at the latest snapshot with additive schema evolution:
+    * commits may have introduced new columns; older files' rows read as
+    * null there. Plain [[read]] keeps the single-footer fast path for
+    * schema-stable tables (the common case at scale).
+    */
+  def readMerged(): DataFrame =
+    readDirsMerged(latest().map(_.live).getOrElse(Seq.empty))
 
   /** Full table at a specific version (time travel). */
   def readVersion(version: Long): DataFrame = {

@@ -226,6 +226,32 @@ class SnapshotTableSpec extends AnyFunSuite {
       Seq("append", "append", "compact", "append"))
   }
 
+  test("additive schema evolution: merged reads, evolved merge/delete scans, compaction") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val t = SnapshotTable(spark, tmp())
+    t.append(Seq((1L, "a"), (2L, "b")).toDF("id", "payload"), "v0")
+    t.append(Seq((3L, "c", 0.5), (4L, "d", 0.9)).toDF("id", "payload", "score"), "v1")
+    val merged = t.readMerged().select("id", "payload", "score")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(merged == Set((1L, "a", None), (2L, "b", None),
+      (3L, "c", Some(0.5)), (4L, "d", Some(0.9))))
+    // COW ops must survive the mixed-schema scan (match in the OLD dir)
+    t.deleteWhere(col("id") === 2L, "del")
+    assert(t.readMerged().count() == 3)
+    t.merge(Seq((1L, "A", 1.0)).toDF("id", "payload", "score"), Seq("id"), "m")
+    val after = t.readMerged().select("id", "payload", "score")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(after == Set((1L, "A", Some(1.0)), (3L, "c", Some(0.5)),
+      (4L, "d", Some(0.9))), s"post-merge state wrong: $after")
+    // compaction materializes the union schema
+    t.compact("cp")
+    assert(t.read().schema.fieldNames.toSet == Set("id", "payload", "score"))
+    assert(t.read().count() == 3)
+  }
+
   test("manifests without an op field (pre-compaction writers) parse as appends") {
     import spark.implicits._
     val t = SnapshotTable(spark, tmp())
