@@ -100,6 +100,7 @@ object SparkEntry {
     "q80_delete_where"    -> (SnapshotQueries.q80DeleteWhere _),
     "q81_compact"         -> (SnapshotQueries.q81Compact _),
     "q82_schema_evolve"   -> (SnapshotQueries.q82SchemaEvolve _),
+    "q83_compact_sorted"  -> (SnapshotQueries.q83CompactSorted _),
     // flagship pipeline (not SQL-expressible: broadcast-model stages) —
     // driver records rows-only checks for these two.
     "q30_quality_filter"  -> (DocumentsAdapter.qualityFilterQuery _),
@@ -240,6 +241,9 @@ object SparkEntry {
     // additive schema evolution: merged read over mixed-schema dirs AND the
     // union schema materialized by compaction, both value-checked
     "q82_schema_evolve"   -> SnapshotSql.q82SchemaEvolve,
+    // sorted compaction: content byte-equal; the disjoint-range layout is
+    // gated by the parquet-footer min/max spec
+    "q83_compact_sorted"  -> SnapshotSql.q83CompactSorted,
     // (q55_simhash_pairs stays rows-only: simhash signatures aren't
     // DuckDB-expressible; spec-gated like q22)
   )

@@ -151,6 +151,26 @@ object SnapshotQueries {
     mixed.unionByName(fp(t.readMerged(), "compacted"))
       .orderBy("part", "doc_id")
   }
+
+  /** q83: sorted (clustered) compaction. Two commit dirs rewritten into 4
+    * doc_id-range-partitioned, sorted files — content must stay
+    * byte-identical (the oracle); the disjoint-key-range data-skipping
+    * claim is gated by the parquet-footer spec (SnapshotTableSpec reads
+    * each file's row-group min/max and asserts non-overlap).
+    */
+  def q83CompactSorted(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val root = Staging.stagePathFor("snapsorted",
+      java.nio.file.Paths.get(dir, "documents.parquet"))
+    val t = SnapshotTable(s, root.toString)
+    t.append(docs.filter(col("doc_id") % 2 === 0), "q83-even")
+    t.append(docs.filter(col("doc_id") % 2 =!= 0), "q83-odd")
+    val snap = t.compactSorted("q83-sorted", Seq("doc_id"), numFiles = 4)
+    require(snap.live.size == 1, s"sorted compaction left ${snap.live.size} live dirs")
+    t.read().select(col("doc_id"), col("lang"), col("source"),
+        sha2(col("text").cast("binary"), 256).as("text_sha"))
+      .orderBy("doc_id")
+  }
 }
 
 object SnapshotSql {
@@ -203,4 +223,8 @@ object SnapshotSql {
       |       ELSE CAST(length(d.text) AS DOUBLE) END AS quality
       |FROM documents d, (VALUES ('compacted'), ('mixed')) p(part)
       |ORDER BY part, doc_id""".stripMargin
+
+  val q83CompactSorted: String =
+    """SELECT doc_id, lang, source, sha256(text) AS text_sha
+      |FROM documents ORDER BY doc_id""".stripMargin
 }

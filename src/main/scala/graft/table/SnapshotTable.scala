@@ -323,7 +323,27 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
     * [[readAddedOf]]-based incremental consumers skip it. Time travel to
     * pre-compaction versions still works (old dirs stay referenced).
     */
-  def compact(commitKey: String, numFiles: Int = 1): Snapshot = {
+  def compact(commitKey: String, numFiles: Int = 1): Snapshot =
+    compactWith(commitKey, _.repartition(numFiles))
+
+  /** Sorted (clustered) compaction: the live set rewritten into `numFiles`
+    * files RANGE-partitioned and sorted by `sortCols` — each output file
+    * covers a disjoint key range, so its parquet row-group min/max
+    * statistics prune point/range scans to one file (the data-skipping
+    * layout Iceberg's sort-order rewrite and Delta's Z-order exist for; at
+    * 100 TB the difference between "open every file" and "open one file"
+    * IS the read path). Same commit semantics as [[compact]].
+    */
+  def compactSorted(commitKey: String, sortCols: Seq[String],
+      numFiles: Int = 8): Snapshot = {
+    import org.apache.spark.sql.functions.col
+    compactWith(commitKey, df =>
+      df.repartitionByRange(numFiles, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*))
+  }
+
+  private def compactWith(commitKey: String,
+      layout: DataFrame => DataFrame): Snapshot = {
     findByKey(commitKey) match {
       case Some(existing) => existing
       case None =>
@@ -333,7 +353,7 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
         // merged read: compacting a schema-evolved table materializes the
         // union schema (nulls for pre-evolution rows) instead of silently
         // keeping whichever dir's schema the sampler picked
-        readDirsMerged(liveDirs).repartition(numFiles)
+        layout(readDirsMerged(liveDirs))
           .write.mode("errorifexists").parquet(dataDir.resolve(name).toString)
         commitLoop(commitKey, Seq(name), removed = liveDirs, op = "compact")
     }

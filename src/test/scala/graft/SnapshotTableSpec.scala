@@ -252,6 +252,51 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(t.read().count() == 3)
   }
 
+  test("sorted compaction: byte-equal content, disjoint per-file key ranges in footers") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val t = SnapshotTable(spark, tmp())
+    // two unsorted, interleaved commits
+    val rng = new scala.util.Random(83L)
+    val ids = rng.shuffle((0L until 4000L).toVector)
+    t.append(ids.take(2000).map(i => (i, s"v$i")).toDF("id", "payload"), "a")
+    t.append(ids.drop(2000).map(i => (i, s"v$i")).toDF("id", "payload"), "b")
+    val pre = t.read().as[(Long, String)].collect().toSet
+    val snap = t.compactSorted("cs", Seq("id"), numFiles = 4)
+    assert(snap.op == "compact" && snap.live.size == 1)
+    assert(t.read().as[(Long, String)].collect().toSet == pre)
+
+    // read each parquet file's footer: row-group min/max of `id` — ranges
+    // across FILES must be pairwise disjoint (the data-skipping claim)
+    val dataDir = java.nio.file.Paths.get(t.root, "data", snap.live.head)
+    val files = java.nio.file.Files.list(dataDir).iterator()
+    val conf = spark.sessionState.newHadoopConf()
+    val ranges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    files.forEachRemaining { p =>
+      if (p.getFileName.toString.endsWith(".parquet")) {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.toUri), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          val blocks = reader.getFooter.getBlocks.asScala
+          val idStats = blocks.flatMap(_.getColumns.asScala
+            .filter(_.getPath.toDotString == "id").map(_.getStatistics))
+          assert(idStats.nonEmpty && idStats.forall(s => s.hasNonNullValue),
+            s"no id statistics in ${p.getFileName}")
+          val mins = idStats.map(_.genericGetMin.asInstanceOf[Long])
+          val maxs = idStats.map(_.genericGetMax.asInstanceOf[Long])
+          ranges += ((mins.min, maxs.max))
+        } finally reader.close()
+      }
+    }
+    assert(ranges.size == 4, s"expected 4 files, saw ${ranges.size}")
+    val sorted = ranges.sortBy(_._1).toVector
+    sorted.zip(sorted.tail).foreach { case ((_, hi), (lo2, _)) =>
+      assert(hi < lo2, s"overlapping file key ranges: $sorted")
+    }
+  }
+
   test("manifests without an op field (pre-compaction writers) parse as appends") {
     import spark.implicits._
     val t = SnapshotTable(spark, tmp())
