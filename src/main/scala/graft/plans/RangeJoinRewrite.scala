@@ -175,5 +175,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // graft_cosine(vec, vec): cosine similarity over float arrays
     e.injectFunction(fn("graft_cosine", classOf[graft.functions.CosineSim].getName,
       2, c => graft.functions.CosineSim(c(0), c(1))))
+    // graft_scrub(str): the full ordered PII/secret scrub chain in one pass
+    // — the flagship byte-stable scrub reachable from pure SQL
+    e.injectFunction(fn("graft_scrub", classOf[graft.scrub.ScrubExpr].getName,
+      1, c => graft.scrub.ScrubExpr(c.head)))
   }
 }
