@@ -72,8 +72,12 @@ object Staging {
       try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
       catch {
         // both indicate a concurrent winner on POSIX rename(2)
-        case _: FileAlreadyExistsException | _: java.nio.file.DirectoryNotEmptyException =>
+        case e @ (_: FileAlreadyExistsException | _: java.nio.file.DirectoryNotEmptyException) =>
           deleteRecursively(tmp)
+          // the winner must actually be fully staged: a marker-less target
+          // (e.g. an age-based tmp cleaner removed _SUCCESS but left data
+          // files) must not be served indefinitely (ADVICE r5)
+          if (!Files.exists(target.resolve("_SUCCESS"))) throw e
         case e: java.nio.file.FileSystemException if Files.exists(target) =>
           deleteRecursively(tmp)
           if (!Files.exists(target.resolve("_SUCCESS"))) throw e

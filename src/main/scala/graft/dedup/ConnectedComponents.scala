@@ -52,6 +52,11 @@ object ConnectedComponents {
     * m(u) = min(N(u) ∪ {u}). Since m(u) ≤ u < v the emitted pair (m, v) is
     * already canonical. Connectivity is preserved (v—m goes through u) and
     * large neighbors hop directly toward the component minimum.
+    *
+    * (Measured note, r6: a single-window `min over (partition by u)` form
+    * that drops the join was tried and is SLOWER here — the groupBy's min
+    * relation is tiny and AQE broadcasts the join, while the window forces
+    * a full sort of the directed relation; keep the agg+join shape.)
     */
   private def largeStar(e: DataFrame): DataFrame = {
     val d = e.select(col("a").as("u"), col("b").as("v"))
@@ -67,15 +72,21 @@ object ConnectedComponents {
   /** Small-star: every node u connects its smaller-or-equal neighborhood
     * {v ∈ N(u): v < u} ∪ {u} into a star rooted at its minimum. Directing
     * each canonical edge large→small gives exactly the v < u neighbor set.
+    *
+    * r6: the trailing distinct is FOLDED INTO the caller's [[canon]] — the
+    * iteration always runs `canon(smallStar(...))`, whose own distinct
+    * subsumes this one (the v = m rows the round-5 form filtered here are
+    * exactly canon's dropped self-loops), so one exchange per round goes
+    * away with an identical post-canon relation (guide §2.4: remove
+    * shuffles outright).
     */
   private def smallStar(e: DataFrame): DataFrame = {
     val d = e.select(col("b").as("u"), col("a").as("v")) // v < u by canon
     val m = d.groupBy("u").agg(min("v").as("m"))
     val nbr = d.join(m, "u")
-      .where(col("v") =!= col("m"))
       .select(col("m").as("a"), col("v").as("b"))
     val self = m.select(col("m").as("a"), col("u").as("b"))
-    nbr.union(self).distinct()
+    nbr.union(self)
   }
 
   /** (id, component) for every node incident to at least one edge; nodes

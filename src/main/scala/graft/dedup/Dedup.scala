@@ -92,7 +92,16 @@ object Dedup {
     * the global distinct this deliberately does not pay for.
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
-      blockCols: Seq[String] = Seq.empty): DataFrame = {
+      blockCols: Seq[String] = Seq.empty): DataFrame =
+    df.select((idCol +: blockCols).map(col) :+
+      explode(graft.functions.ShingleHashes.col(col(textCol), n)).as("shingle"): _*)
+
+  /** The round-5 column-chain formulation of [[shingles]] — the
+    * differential-test twin of the single-pass native expression
+    * ([[graft.functions.ShingleHashes]]); do not use in the hot path.
+    */
+  private[graft] def shinglesViaColumns(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, blockCols: Seq[String] = Seq.empty): DataFrame = {
     val ws = split(col(textCol), " ")
     val idxs = when(size(ws) >= n, sequence(lit(1), size(ws) - (n - 1)))
       .otherwise(array().cast("array<int>"))
@@ -212,10 +221,22 @@ object Dedup {
         Window.partitionBy(col(idCol)).orderBy(col("shf").asc, col("shingle").asc)))
       .join(sizes, idCol)
       .filter(col("rk") <= floor(lit(1.0 - threshold) * col("n_sh")) + 2)
-    val a = ranked.select(blockCols.map(col) :+ col(idCol).as("a_id") :+ col("shingle"): _*)
-    val b = ranked.select(blockCols.map(col) :+ col(idCol).as("b_id") :+ col("shingle"): _*)
+    val a = ranked.select(blockCols.map(col) :+ col(idCol).as("a_id") :+
+      col("shingle") :+ col("n_sh").as("na"): _*)
+    val b = ranked.select(blockCols.map(col) :+ col(idCol).as("b_id") :+
+      col("shingle") :+ col("n_sh").as("nb"): _*)
+    // PPJoin length filter — EXACT: J(a,b) ≥ t ⇒ inter ≤ min(na,nb) and
+    // union ≥ max(na,nb), so min ≥ t·max for every qualifying pair; the
+    // 1e-9 slack absorbs double rounding of t·max (sizes are integers, so
+    // the true margin of a borderline pair is ≥ 0 in exact arithmetic while
+    // double error is ~1e-11). Cuts candidate volume BEFORE the distinct
+    // and the verification joins; the surviving set is still a superset of
+    // the true pairs, and verification is exact (guide §3: reduce the join
+    // volume with a lossless pre-filter).
     val cands = a.join(b, blockCols :+ "shingle")
-      .filter(col("a_id") < col("b_id"))
+      .filter(col("a_id") < col("b_id") &&
+        least(col("na"), col("nb")).cast("double") >=
+          lit(threshold) * greatest(col("na"), col("nb")) - lit(1e-9))
       .select("a_id", "b_id").distinct()
     (verifyJaccard(cands, sh, idCol, threshold, sizes), () => { sh.unpersist(); () })
   }

@@ -98,12 +98,20 @@ object EditDistance {
       (start, slen)
     }
 
+    // Candidate generation carries only (id, len, segIdx, xxhash64(segment))
+    // — never the key strings (guide §2.3: shuffle keys and metadata, not
+    // payloads): the probe side explodes to O(m·d²) rows per string, so an
+    // 8-byte hash instead of the segment text (and no carried k) shrinks
+    // that shuffle by the payload factor. A 64-bit collision can only ADD a
+    // candidate pair, never drop one, and every candidate is verified with
+    // the exact codegen'd levenshtein below — the result is provably
+    // unchanged (same argument as the hashed shingle relation).
     val iCol = explode(sequence(lit(0), lit(maxDist)))
     val idx = {
       val (start, slen) = segStart(col("len"), col("i"))
       keyed.withColumn("i", iCol)
-        .select(col("id").as("a_id"), col("k").as("a_k"), col("len").as("a_len"),
-          col("i").as("a_i"), col("k").substr(start + 1, slen).as("a_seg"))
+        .select(col("id").as("a_id"), col("len").as("a_len"),
+          col("i").as("a_i"), xxhash64(col("k").substr(start + 1, slen)).as("a_seg"))
     }
     val prb = {
       val (start, slen) = segStart(col("pl"), col("i"))
@@ -117,9 +125,9 @@ object EditDistance {
         // Sequence throws on inverted bounds: emit no positions instead
         // (a window that misses the string entirely has no candidates)
         .withColumn("p", explode(when(lo <= hi, sequence(lo, hi))))
-        .select(col("id").as("b_id"), col("k").as("b_k"), col("len").as("b_len"),
+        .select(col("id").as("b_id"), col("len").as("b_len"),
           col("pl"), col("i").as("b_i"),
-          col("k").substr(col("p") + 1, col("slen")).as("b_sub"))
+          xxhash64(col("k").substr(col("p") + 1, col("slen"))).as("b_sub"))
     }
 
     val cands = idx.join(prb,
@@ -131,11 +139,14 @@ object EditDistance {
         (col("a_len") === col("b_len") && col("a_id") =!= col("b_id")))
       .select(
         least(col("a_id"), col("b_id")).as("a_id"),
-        greatest(col("a_id"), col("b_id")).as("b_id"),
-        col("a_k"), col("b_k"))
+        greatest(col("a_id"), col("b_id")).as("b_id"))
       .dropDuplicates("a_id", "b_id")
 
+    // key strings re-attached to the (small) deduped candidate set only —
+    // the exact verify is the sole consumer of the text
     cands
+      .join(keyed.select(col("id").as("a_id"), col("k").as("a_k")), "a_id")
+      .join(keyed.select(col("id").as("b_id"), col("k").as("b_k")), "b_id")
       .select(col("a_id"), col("b_id"),
         levenshtein(col("a_k"), col("b_k")).as("dist"))
       .filter(col("dist") <= maxDist)

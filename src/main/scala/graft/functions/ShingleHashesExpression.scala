@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct hashed word n-gram shingles of a text, as ONE codegen'd native
+  * expression — the single-pass form of the column chain
+  * `array_distinct(transform(sequence(...), i => xxhash64(concat_ws(" ",
+  * element_at(ws, i), ..., element_at(ws, i+n-1)))))` over
+  * `ws = split(text, " ")` (see [[graft.dedup.Dedup.shingles]]).
+  *
+  * Value-identical by construction: splitting on the SINGLE-SPACE pattern
+  * means every separator in the original text is exactly one 0x20 byte, so
+  * the `concat_ws(" ", w_i..w_{i+n-1})` string is byte-for-byte the
+  * contiguous slice of the input from the start of token i to the end of
+  * token i+n-1 (leading/trailing/consecutive-space empty tokens included —
+  * Java split with limit -1 keeps them, and the slice keeps their empty
+  * spans). Each shingle hash is therefore computed straight off the input's
+  * own bytes with [[XXH64.hashUTF8String]] at Spark's fixed seed 42 — zero
+  * token materialization, zero concat allocation, zero per-window copies
+  * (a `fromAddress` view re-uses the input buffer). In UTF-8 a 0x20 byte
+  * never occurs inside a multi-byte codepoint, so the byte scan finds
+  * exactly the split points the regex split finds.
+  *
+  * Distinctness (array_distinct semantics: first occurrence kept) is an
+  * open-addressing long set sized to the window count — no boxing, no
+  * HashSet. The shingle relation feeds every similarity join's shuffle, so
+  * this pass is the dominant per-row cost of the Jaccard/MinHash family
+  * (guide §1.2 step 2: per-task work, after the round-3/4 shuffle shape
+  * work); the differential spec pins it to the legacy column chain.
+  */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle width n must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("shingleHashes", this, classOf[ShingleHashes].getName)
+    defineCodeGen(ctx, ev, c => s"(${classOf[ArrayData].getName}) $self.compute($c)")
+  }
+
+  /** Reusable per-thread space-position buffer (positions of 0x20 bytes). */
+  @transient private lazy val scratch =
+    ThreadLocal.withInitial[Array[Int]](() => new Array[Int](64))
+
+  def compute(u: UTF8String): ArrayData = {
+    val base = u.getBaseObject
+    val off = u.getBaseOffset
+    val len = u.numBytes()
+    // collect space positions — token i spans (space[i-1], space[i])
+    var sp = scratch.get()
+    var nSp = 0
+    var i = 0
+    while (i < len) {
+      if (u.getByte(i) == 0x20.toByte) {
+        if (nSp == sp.length) {
+          sp = java.util.Arrays.copyOf(sp, sp.length * 2)
+          scratch.set(sp)
+        }
+        sp(nSp) = i
+        nSp += 1
+      }
+      i += 1
+    }
+    val nTokens = nSp + 1
+    val windows = nTokens - n + 1
+    if (windows <= 0) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    // open-addressing distinct set (first-occurrence order preserved in out)
+    var cap = Integer.highestOneBit(math.max(4, windows * 2 - 1)) * 2
+    val mask = cap - 1
+    val slots = new Array[Long](cap)
+    val used = new Array[Boolean](cap)
+    val out = new Array[Long](windows)
+    var nOut = 0
+    var w = 0
+    while (w < windows) {
+      // bytes [start of token w, end of token w+n-1)
+      val s = if (w == 0) 0 else sp(w - 1) + 1
+      val e = if (w + n - 1 == nSp) len else sp(w + n - 1)
+      val h = XXH64.hashUTF8String(UTF8String.fromAddress(base, off + s, e - s), 42L)
+      var slot = (java.lang.Long.hashCode(h) & mask)
+      var fresh = true
+      var probing = true
+      while (probing) {
+        if (!used(slot)) { used(slot) = true; slots(slot) = h; probing = false }
+        else if (slots(slot) == h) { fresh = false; probing = false }
+        else slot = (slot + 1) & mask
+      }
+      if (fresh) { out(nOut) = h; nOut += 1 }
+      w += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (nOut == windows) out else java.util.Arrays.copyOf(out, nOut))
+  }
+}
+
+object ShingleHashes {
+  def col(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(c), n))
+  }
+}

@@ -22,9 +22,18 @@ object RangeQueries {
     * and the plan spec asserts the nested-loop operator is gone.
     */
   def q66RangeJoin(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set(graft.plans.RangeJoinRewrite.BinConfKey, "8.0")
-    val ev = Tables.events(s, dir)
-    val iv = s.range(0, 49).select(
+    // dedicated CHILD session: the bin conf must be live when the returned
+    // (lazy) DataFrame is optimized, so it cannot be try/finally-restored —
+    // a child session scopes it to this query's plan instead of leaking the
+    // rewrite into every later non-equi join on the shared session
+    // (ADVICE r5)
+    val cs = s.newSession()
+    // a caller-set bin width (the bin-width-invariance spec) wins over the
+    // query's default
+    cs.conf.set(graft.plans.RangeJoinRewrite.BinConfKey,
+      s.conf.getOption(graft.plans.RangeJoinRewrite.BinConfKey).getOrElse("8.0"))
+    val ev = Tables.events(cs, dir)
+    val iv = cs.range(0, 49).select(
       col("id").as("iv_id"),
       (col("id") * lit(10.0)).as("lo"),
       (col("id") * lit(10.0) + lit(12.5)).as("hi"))

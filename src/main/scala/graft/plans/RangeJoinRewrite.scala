@@ -67,10 +67,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   /** Orderable-and-binnable types: the bin key is floor(cast(e, double)/W),
     * so anything that casts to a meaningful double qualifies. Timestamps
-    * cast to fractional epoch seconds (ANSI-off semantics).
+    * cast to fractional epoch seconds (ANSI-off semantics). DateType is
+    * EXCLUDED: Cast(date, double) evaluates to NULL under ANSI-off, so a
+    * date-keyed rewrite would produce all-null bin keys and silently return
+    * zero rows (ADVICE r5) — dates stay on the original non-equi plan until
+    * an epoch-day binning is implemented.
     */
   private def binnable(e: Expression): Boolean = e.dataType match {
-    case _: NumericType | _: TimestampType | _: DateType => true
+    case _: NumericType | _: TimestampType => true
     case _ => false
   }
 

@@ -47,7 +47,10 @@ object Sampling {
   def thresholdHex(rate: Double): String =
     if (rate >= 1.0) "g"
     else if (rate <= 0.0) "0"
-    else f"${(rate * 4294967296.0).toLong}%08x"
+    // clamp: rates just below 1.0 can round to exactly 2^32, whose %08x is
+    // the 9-char "100000000" — lexicographically BELOW most 8-char prefixes,
+    // silently keeping only ~6% of rows (ADVICE r5)
+    else f"${math.min((rate * 4294967296.0).toLong, 0xFFFFFFFFL)}%08x"
 
   /** Deterministic Bernoulli sample: keep each row with probability `rate`,
     * decided by the row's own key — a narrow filter, no shuffle, stable

@@ -70,7 +70,11 @@ object StreamSnapshotSink {
 
     val t = SnapshotTable(s, Staging.stagePathFor("snapstream", docsFile).toString)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-q76-ckpt")
-    val stream = s.readStream.schema(docs.schema)
+    // tuned child session (no trailing empty micro-batch; see
+    // StreamingQualityFilter.streamSession) — commits are unchanged, the
+    // empty batch never committed anything (df.isEmpty guard in ingest)
+    val stream_s = StreamingQualityFilter.streamSession(s)
+    val stream = stream_s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(split.toString)
     val delivered = ingest(stream, t, "q76", ckpt.toString,
       df => df.agg(min("doc_id")).head().getLong(0).toString)

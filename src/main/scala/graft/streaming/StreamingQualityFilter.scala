@@ -20,6 +20,40 @@ import org.apache.spark.sql.types.{IntegerType, StructType}
   */
 object StreamingQualityFilter {
 
+  /** Partition count for the engine's own bounded streaming runs (state
+    * stores + sink files are per-partition, see [[streamSession]]).
+    */
+  val StatePartitionsKey = "spark.graft.streaming.statePartitions"
+
+  /** Child session for a bounded (availableNow) streaming run — conf tuned
+    * for the per-micro-batch FIXED costs without touching the caller's
+    * session (the q66 conf-leak lesson: never mutate a shared session).
+    *
+    *  - `noDataMicroBatches=false`: after the data batches of a terminating
+    *    availableNow run, the engine schedules one extra empty batch purely
+    *    to advance the watermark and evict state — state a terminating run
+    *    discards anyway. Inner joins and stateless projections emit their
+    *    rows in the data batches, so output is identical. (Measured: the
+    *    empty batch still opens+commits every state store instance — ~1.7 s
+    *    of q70's 5.1 s at 32 partitions.)
+    *  - shuffle partitions := [[StatePartitionsKey]] (default 8): each
+    *    stream-stream join partition carries FOUR state store instances
+    *    whose open/commit cost is paid per partition per micro-batch,
+    *    independent of data volume. Size the count to the STATE VOLUME, not
+    *    the session's core count — the engine's bounded runs here hold at
+    *    most a few thousand state rows. At production state volumes, set
+    *    the conf on the source session (it is inherited); this is a
+    *    per-state-size knob, not a local-mode constant (guide §2.2: fewer,
+    *    larger partitions when per-partition overhead dominates).
+    */
+  private[graft] def streamSession(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.SparkSession = {
+    val child = s.newSession()
+    child.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    child.conf.set("spark.sql.shuffle.partitions",
+      s.conf.getOption(StatePartitionsKey).getOrElse("8"))
+    child
+  }
+
   val corpusSchema: StructType = new StructType()
     .add("repo", "string").add("path", "string").add("commit", "string")
     .add("lang", "string").add("content", "string")
@@ -74,12 +108,15 @@ object StreamingQualityFilter {
       TextMetrics.withMetrics(adapt(batchDocs))
         .withColumn("ppl", lit(0.0))
         .select(col("lang"), col("ppl"), col("n_chars")))
-    val stats = spark.createDataFrame(
+    // the stream runs on a tuned CHILD session (see streamSession) — the
+    // broadcast stats frame must live on that same session
+    val stream_s = streamSession(spark)
+    val stats = stream_s.createDataFrame(
       java.util.Arrays.asList(statsD.collect(): _*), statsD.schema)
 
     val (work, inDir) = stageStreamDir(docsPath, "graft-stream-q48-")
 
-    val stream = adapt(spark.readStream.schema(batchDocs.schema).parquet(inDir.toString))
+    val stream = adapt(stream_s.readStream.schema(batchDocs.schema).parquet(inDir.toString))
       .withColumn("lang_pred", col("lang"))
       .withColumn("lang_margin", lit(0.0))
       .withColumn("ppl", lit(0.0))

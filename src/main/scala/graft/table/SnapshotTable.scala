@@ -53,10 +53,12 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
   Files.createDirectories(logDir)
   Files.createDirectories(dataDir)
 
-  /** `op` distinguishes logical-content commits ("append" — plain appends,
-    * merges, deletes: their `added` dirs carry changed data) from physical
-    * reorganizations ("compact": content identical, `added` is just the new
-    * layout) so incremental readers can skip the latter.
+  /** `op` distinguishes commit kinds for incremental readers: "append" —
+    * `added` dirs are genuinely new rows; "overwrite" (merge / deleteWhere)
+    * — `added` dirs REWRITE existing dirs (surviving rows re-delivered +
+    * any upserts), so incremental reads across one fail loudly; "compact"
+    * — content identical, `added` is just the new physical layout, skipped
+    * by incremental reads.
     */
   case class Snapshot(version: Long, commitKey: String, added: Seq[String],
       live: Seq[String], op: String = "append")
@@ -275,7 +277,11 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
           }
           val upDir = s"$commitKey-up-$slug"
           updates.write.mode("errorifexists").parquet(dataDir.resolve(upDir).toString)
-          commitLoop(commitKey, rewritten :+ upDir, removed = affected)
+          // op="overwrite": the added dirs re-deliver surviving rows of the
+          // rewritten dirs, so incremental readers must not treat them as
+          // new data (ADVICE r5; readSince fails loudly across overwrites)
+          commitLoop(commitKey, rewritten :+ upDir, removed = affected,
+            op = "overwrite")
         }
     }
   }
@@ -310,7 +316,8 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
               _.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet")))
             if (hasData) Some(name) else { deleteRecursively(dataDir.resolve(name)); None }
           }
-          commitLoop(commitKey, rewritten, removed = affected)
+          // op="overwrite": see merge — rewrites are not new data
+          commitLoop(commitKey, rewritten, removed = affected, op = "overwrite")
         }
     }
   }
@@ -397,19 +404,36 @@ final class SnapshotTable(val spark: SparkSession, val root: String) {
   /** Incremental read: rows added AFTER `sinceVersion` (exclusive), up to
     * the latest snapshot — the resume path of the pipeline. Compaction
     * snapshots are skipped: their `added` is a physical re-layout of rows
-    * previous snapshots already delivered.
+    * previous snapshots already delivered. An OVERWRITE snapshot (merge /
+    * deleteWhere) in the range fails LOUDLY — its `added` dirs re-deliver
+    * surviving rows of rewritten dirs, so treating them as new data would
+    * silently duplicate previously delivered rows (ADVICE r5; the same
+    * contract as Iceberg's incremental read, which refuses overwrite
+    * snapshots rather than guess).
     */
   def readSince(sinceVersion: Long): Option[DataFrame] = {
-    val newDirs = snapshots()
-      .filter(s => s.version > sinceVersion && s.op != "compact")
-      .flatMap(_.added)
+    val range = snapshots().filter(s => s.version > sinceVersion && s.op != "compact")
+    range.find(_.op == "overwrite").foreach { s =>
+      throw new IllegalStateException(
+        s"readSince($sinceVersion) crosses overwrite snapshot v${s.version} " +
+          s"('${s.commitKey}'): incremental reads cannot represent rewrites — " +
+          "read() the full table at a version instead, or resume from " +
+          s"sinceVersion >= ${s.version}")
+    }
+    val newDirs = range.flatMap(_.added)
     if (newDirs.isEmpty) None else Some(readDirs(newDirs))
   }
 
-  /** Rows added BY exactly one snapshot version. */
+  /** Rows added BY exactly one snapshot version. Fails loudly on an
+    * overwrite snapshot for the same reason as [[readSince]].
+    */
   def readAddedOf(version: Long): DataFrame = {
     val s = snapshots().find(_.version == version)
       .getOrElse(throw new IllegalArgumentException(s"no snapshot $version"))
+    if (s.op == "overwrite")
+      throw new IllegalStateException(
+        s"readAddedOf($version) is an overwrite snapshot ('${s.commitKey}'): " +
+          "its added dirs re-deliver rewritten rows, not new data")
     readDirs(s.added)
   }
 

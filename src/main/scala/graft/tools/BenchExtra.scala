@@ -1,0 +1,56 @@
+package graft.tools
+
+import graft.core.GraftSession
+
+/** Dev-only per-query bench (guide §1.4): replicates graft.Bench's query
+  * section methodology exactly — fresh GraftSession.local(32) with engine
+  * defaults, one warmup `count()` then timed `count()` per query, with the
+  * same cache-clearing between warmup and timing for the memoized pipeline
+  * queries and the shingle-join family — but adds repeats (reports min) and
+  * query-subset selection so one query can be iterated on without paying
+  * the full bench.
+  *
+  * Usage: runMain graft.tools.BenchExtra [repeats] [query...]
+  *   (no query args = all queries; SPARK_GRAFT_SF_DIR for the data dir)
+  * Never used by the driver; graft.Bench stays the frozen surface.
+  */
+object BenchExtra {
+
+  private def timed[T](f: => T): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private val ShingleQueries = Set("q21_minhash_lsh", "q23_ngram_jaccard",
+    "q49_jaccard_capped", "q56_jaccard_capped_real", "q57_dedup_clusters")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val repeats = args.headOption.flatMap(_.toIntOption).getOrElse(1)
+    val names0 = if (args.exists(_.toIntOption.isEmpty))
+      args.filter(_.toIntOption.isEmpty).toSeq
+    else graft.SparkEntry.queries.keys.toSeq.sorted
+    val spark = GraftSession.local(32, "graft-bench-extra")
+    val results = names0.map { name =>
+      val fn = graft.SparkEntry.queries(name)
+      spark.sparkContext.setJobDescription(s"warm:$name")
+      fn(spark, sfDir).count() // warm: plan + codegen + broadcast once
+      val samples = (1 to repeats).map { r =>
+        if (name == "q30_quality_filter" || name == "q44_qf_heuristics")
+          graft.pipeline.DocumentsAdapter.clearCache()
+        if (ShingleQueries(name)) {
+          spark.catalog.clearCache()
+          graft.pipeline.DocumentsAdapter.clearCache()
+        }
+        spark.sparkContext.setJobDescription(s"timed:$name:$r")
+        timed(fn(spark, sfDir).count())
+      }
+      System.err.println(f"[benchx] $name min=${samples.min}%.3f all=${samples.map(s => f"$s%.3f").mkString(",")}")
+      name -> samples.min
+    }
+    spark.stop()
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    println(s"""{"benchx_queries":$qs,"total_sec":${results.map(_._2).sum}}""")
+  }
+}

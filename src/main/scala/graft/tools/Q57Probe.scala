@@ -1,0 +1,35 @@
+package graft.tools
+
+import graft.core.{GraftSession, Tables}
+import graft.dedup.{ConnectedComponents, Dedup}
+import org.apache.spark.sql.functions._
+
+/** Dev-only stage breakdown for the near-dup clusters query (q57). */
+object Q57Probe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.local(32, "q57-probe")
+
+    def t[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[q57] $name%-32s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    }
+
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    val (pairs, release) = Dedup.jaccardPairsPrefixReleasable(
+      docs, "doc_id", "text", Seq("lang"), 3, 0.5)
+    val p = t("pair join (materialize)")(pairs.persist())
+    t("pair count")(println("  pairs=" + p.count()))
+    val comp = t("connectedComponents")(ConnectedComponents.componentsFor(
+      docs.select("doc_id"), "doc_id", p, "a_id", "b_id"))
+    t("components consume")(println("  rows=" + comp.count()))
+    release()
+    t("full q57 cold (second run, warm cache cleared)") {
+      spark.catalog.clearCache()
+      graft.operators.PipelineQueries.q57DedupClusters(spark, dir).count()
+    }
+    spark.stop()
+  }
+}

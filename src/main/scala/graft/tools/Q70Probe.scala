@@ -1,0 +1,38 @@
+package graft.tools
+
+import graft.core.GraftSession
+
+/** Dev-only conf experiments for the streaming queries (q70/q48/q76). */
+object Q70Probe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.local(32, "q70-probe")
+
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[q70] $name%-44s ${(System.nanoTime() - t0) / 1e9}%7.2f s (rows=$n)")
+    }
+
+    // warm
+    t("q70 warm")(graft.streaming.StreamJoins.availableNowIntervalJoin(spark, dir).count())
+    t("q70 baseline")(graft.streaming.StreamJoins.availableNowIntervalJoin(spark, dir).count())
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    t("q70 noDataBatches=off")(graft.streaming.StreamJoins.availableNowIntervalJoin(spark, dir).count())
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    t("q70 noData=off + shufflePartitions=8")(graft.streaming.StreamJoins.availableNowIntervalJoin(spark, dir).count())
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    t("q70 shufflePartitions=8 only")(graft.streaming.StreamJoins.availableNowIntervalJoin(spark, dir).count())
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    t("q70 shufflePartitions=4 only")(graft.streaming.StreamJoins.availableNowIntervalJoin(spark, dir).count())
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+    t("q48 baseline")(graft.streaming.StreamingQualityFilter.availableNowHeuristics(spark, dir).count())
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    t("q48 tuned")(graft.streaming.StreamingQualityFilter.availableNowHeuristics(spark, dir).count())
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    spark.stop()
+  }
+}

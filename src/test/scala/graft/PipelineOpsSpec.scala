@@ -373,6 +373,36 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(nStr == nHash)
   }
 
+  test("native ShingleHashes equals the column-chain formulation, incl. edge cases") {
+    import spark.implicits._
+    // adversarial shapes for the byte-scan tokenizer: empty text, spaces
+    // only, leading/trailing/consecutive spaces (empty tokens), fewer than
+    // n words, exact n words, repeated shingles (distinctness), multi-byte
+    // UTF-8 (no false 0x20 boundaries), tabs/newlines (NOT separators for
+    // the single-space split)
+    val rows = Seq(
+      1L -> "", 2L -> " ", 3L -> "   ", 4L -> "a", 5L -> "a b",
+      6L -> "a b c", 7L -> " a b c ", 8L -> "a  b  c", 9L -> "a b c a b c a b c",
+      10L -> "héllo wörld ünïcode ҉ mark", 11L -> "a\tb\nc d e f",
+      12L -> "x y z x y z", 13L -> "one two three four five",
+      14L -> "  ", 15L -> "a b c d")
+    val df = rows.toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val got = Dedup.shingles(df, "doc_id", "text", n)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val want = Dedup.shinglesViaColumns(df, "doc_id", "text", n)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got == want, s"n=$n: native shingle relation diverges from column chain")
+    }
+    // real corpus, full relation equality (id, shingle) including counts
+    val docs = Tables.documents(spark, dir)
+    val got = Dedup.shingles(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = Dedup.shinglesViaColumns(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == want)
+  }
+
   test("duplicate-id inputs fail loudly when validateUniqueIds is on") {
     import spark.implicits._
     val dup = Seq((1L, "alpha beta gamma delta"), (1L, "alpha beta gamma delta"),

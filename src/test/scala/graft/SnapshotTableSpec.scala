@@ -167,6 +167,33 @@ class SnapshotTableSpec extends AnyFunSuite {
       java.nio.file.Paths.get(t.root, "data", d)).anyMatch(_.toString.endsWith(".parquet"))))
   }
 
+  test("incremental reads refuse overwrite snapshots instead of duplicating rows") {
+    import spark.implicits._
+    val t = SnapshotTable(spark, tmp())
+    t.append((0L until 50L).map(i => (i, s"v$i")).toDF("id", "payload"), "b0")
+    t.append((50L until 100L).map(i => (i, s"v$i")).toDF("id", "payload"), "b1")
+    val m = t.merge(Seq((10L, "U10")).toDF("id", "payload"), Seq("id"), "m1")
+    assert(m.op == "overwrite")
+    // a range crossing the merge would re-deliver the rewritten dir's 49
+    // surviving rows as if new — must fail loudly, not duplicate
+    val ex = intercept[IllegalStateException](t.readSince(0L))
+    assert(ex.getMessage.contains("overwrite"))
+    assert(intercept[IllegalStateException](t.readAddedOf(m.version))
+      .getMessage.contains("overwrite"))
+    // resuming FROM the overwrite works, and new appends flow incrementally
+    assert(t.readSince(m.version).isEmpty)
+    t.append(Seq((200L, "new")).toDF("id", "payload"), "b2")
+    assert(t.readSince(m.version).get.count() == 1)
+    // deleteWhere is an overwrite too
+    val d = t.deleteWhere(org.apache.spark.sql.functions.col("id") === 20L, "d1")
+    assert(d.op == "overwrite")
+    assert(intercept[IllegalStateException](t.readSince(m.version))
+      .getMessage.contains("overwrite"))
+    // full reads and time travel are unaffected
+    assert(t.read().count() == 100)
+    assert(t.readVersion(1).count() == 100)
+  }
+
   test("merge conflict: rewriting a dir another commit already replaced fails loudly") {
     import spark.implicits._
     val t = SnapshotTable(spark, tmp())
