@@ -107,6 +107,74 @@ object Ann {
     var it = 0
     while (it < iters) {
       val bc = spark.sparkContext.broadcast(centroids)
+      // r6: assignment + per-dimension EXACT decimal sums fused into one
+      // mapPartitions pass; partials (≤ nlist × dim rows per task, bounded
+      // model-state scale like the lm trainers) are merged on the driver.
+      // Replaces the per-iteration posexplode → shuffle → agg → collect
+      // job (dim × n exploded rows and an exchange per iteration) with a
+      // single narrow stage (guide §2.4). Arithmetic is replicated
+      // bit-for-bit: Spark's cast(float as decimal(28,6)) is
+      // BigDecimal(Double.toString(v.toDouble)).setScale(6, HALF_UP), the
+      // decimal sum is exact (associative, partition-order-independent),
+      // and the mean is the same double division — the differential spec
+      // pins this loop to the Spark-agg twin.
+      val partials = c.rdd.mapPartitions { rows =>
+        val cs = bc.value
+        val sums = Array.ofDim[java.math.BigDecimal](cs.length,
+          if (cs.isEmpty) 0 else cs.map(_.length).max)
+        val counts = Array.ofDim[Long](cs.length,
+          if (cs.isEmpty) 0 else cs.map(_.length).max)
+        rows.foreach { case (_, v) =>
+          val cell = nearestCell(v, cs)
+          val lim = math.min(v.length, cs(cell).length)
+          var i = 0
+          while (i < lim) {
+            val d = new java.math.BigDecimal(java.lang.Double.toString(v(i).toDouble))
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+            sums(cell)(i) = if (sums(cell)(i) == null) d else sums(cell)(i).add(d)
+            counts(cell)(i) += 1
+            i += 1
+          }
+        }
+        for {
+          cell <- sums.indices.iterator
+          pos <- sums(cell).indices.iterator
+          if counts(cell)(pos) != 0
+        } yield ((cell, pos), (sums(cell)(pos), counts(cell)(pos)))
+      }.collect()
+      val merged = new scala.collection.mutable.HashMap[(Int, Int), (java.math.BigDecimal, Long)]()
+      partials.foreach { case (k, (s, n)) =>
+        merged.updateWith(k) {
+          case Some((s0, n0)) => Some((s0.add(s), n0 + n))
+          case None => Some((s, n))
+        }
+      }
+      val next = centroids.map(_.clone())
+      merged.foreach { case ((cell, pos), (s, n)) =>
+        // ragged input tolerance: a vector longer than the seed centroids
+        // contributes positions past the centroid length — ignore them,
+        // matching cosineLocal's min-length semantics
+        if (pos < next(cell).length)
+          next(cell)(pos) = (s.doubleValue / n).toFloat
+      }
+      centroids = next // cells with no members keep their previous centroid
+      it += 1
+    }
+    centroids
+  }
+
+  /** The round-5 Spark-aggregation training loop — the differential-test
+    * twin of the fused mapPartitions loop above; do not use in the hot path.
+    */
+  private[graft] def trainLoopViaAgg(c: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      nlist: Int, iters: Int): Array[Array[Float]] = {
+    val spark = c.sparkSession
+    import spark.implicits._
+    var centroids = c.orderBy(col("n_id").asc).limit(nlist)
+      .collect().map(_._2)
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
       val assigned = c.mapPartitions { rows =>
         val cs = bc.value
         rows.map { case (_, v) => (nearestCell(v, cs), v) }
@@ -121,16 +189,27 @@ object Ann {
       stats.foreach { r =>
         val cell = r.getInt(0)
         val pos = r.getInt(1)
-        // ragged input tolerance: a vector longer than the seed centroids
-        // contributes positions past the centroid length — ignore them,
-        // matching cosineLocal's min-length semantics
         if (pos < next(cell).length)
           next(cell)(pos) = (r.getDouble(2) / r.getLong(3)).toFloat
       }
-      centroids = next // cells with no members keep their previous centroid
+      centroids = next
       it += 1
     }
     centroids
+  }
+
+  /** Spec hook: the fused loop over an (id, vec) projection, for the
+    * differential test against [[trainLoopViaAgg]].
+    */
+  private[graft] def trainLoopFor(candidates: org.apache.spark.sql.DataFrame,
+      idCol: String, vecCol: String, nlist: Int, iters: Int,
+      viaAgg: Boolean): Array[Array[Float]] = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val c = candidates
+      .select(col(idCol).cast("long").as("n_id"), col(vecCol).as("cv"))
+      .as[(Long, Array[Float])]
+    if (viaAgg) trainLoopViaAgg(c, nlist, iters) else trainLoop(c, nlist, iters)
   }
 
   private def nearestCell(v: Array[Float], cs: Array[Array[Float]]): Int = {

@@ -26,6 +26,15 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // r6 (guide §3.1/§9): let the planner pick shuffled-hash join where
+      // one side's per-partition build fits — SMJ's sort pays for nothing
+      // on equi-joins whose build side is modest (q57's τ=0.5 self-joins
+      // were 6× SortMergeJoin). The AQE threshold bounds the runtime
+      // SMJ→SHJ conversion at the advisory partition size, so the build
+      // side is never bigger than one coalesced partition (same setting
+      // story on a cluster; identical results either way).
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "67108864")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")

@@ -1,0 +1,72 @@
+package graft.functions
+
+import graft.lm.{LangId, Perplexity}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Broadcast-model scoring (langid + perplexity) as ONE native expression:
+  * `struct(lang_pred, lang_margin, ppl)` from a single fused scan of the
+  * content ([[LangId.Model.predictFused]] — bit-identical to calling the
+  * two models separately, differential-spec'd).
+  *
+  * This replaces the round-5 typed `mapPartitions` scoring pass
+  * ([[graft.pipeline.QualityFilter.score]], kept as the spec twin): the
+  * Dataset hop deserialized every SourceFile field and RE-ENCODED the full
+  * content string into the output row, costing one UTF-16→UTF-8 content
+  * copy per row plus the row↔object conversions. As an expression the
+  * content column flows through UNTOUCHED (downstream QfCore reads the
+  * original UTF8String) and only the struct is produced (guide §1.2 step 2
+  * per-task work; §4.1 "prefer expressions over opaque functions" — the
+  * opaque map also blocked column pruning under it).
+  *
+  * The expression holds the models via [[Broadcast]] handles — serialized
+  * into the task binary as small references, models shipped once per
+  * executor exactly as before.
+  *
+  * DELIBERATELY non-deterministic (guide §4.4): the scoring function is
+  * pure, but the flag stops CollapseProject from inlining — and thereby
+  * re-evaluating — the expensive scan once per extracted struct field.
+  */
+case class ScoreModels(child: Expression,
+    langModel: Broadcast[LangId.Model], pplModel: Broadcast[Perplexity.Model])
+  extends UnaryExpression {
+
+  override def dataType: DataType = ScoreModels.schema
+  override def nullIntolerant: Boolean = true
+  // pure per content, but flagged so the optimizer never duplicates the scan
+  override lazy val deterministic: Boolean = false
+
+  override protected def withNewChildInternal(c: Expression): ScoreModels =
+    copy(child = c)
+
+  override def nullSafeEval(input: Any): Any = {
+    val (pred, margin, ppl) =
+      langModel.value.predictFused(input.asInstanceOf[UTF8String].toString, pplModel.value)
+    new GenericInternalRow(Array[Any](UTF8String.fromString(pred), margin, ppl))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("scoreModels", this, classOf[ScoreModels].getName)
+    defineCodeGen(ctx, ev,
+      c => s"(${classOf[InternalRow].getName}) $self.nullSafeEval($c)")
+  }
+}
+
+object ScoreModels {
+  val schema: StructType = new StructType()
+    .add("lang_pred", StringType, nullable = false)
+    .add("lang_margin", DoubleType, nullable = false)
+    .add("ppl", DoubleType, nullable = false)
+
+  def col(c: Column, langModel: Broadcast[LangId.Model],
+      pplModel: Broadcast[Perplexity.Model]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(ScoreModels(ColumnBridge.expression(c), langModel, pplModel))
+  }
+}

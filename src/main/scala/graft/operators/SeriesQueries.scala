@@ -129,12 +129,21 @@ object SeriesQueries {
       .withColumn("rn", row_number().over(w))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
       .withColumn("h", (col("n") / 2).cast("long")) // len(firstHalf) = n // 2
-    val fq = ranked.filter(col("rn") <= (col("h") / 2).cast("long"))
-      .groupBy(col("event_type")).agg(percentile(col("value"), lit(0.25)).as("q1"))
-    val tq = ranked.filter(col("rn") > col("h") &&
-        col("rn") <= col("h") + ((col("n") - col("h")) / 2).cast("long"))
-      .groupBy(col("event_type")).agg(percentile(col("value"), lit(0.75)).as("q3"))
-    val fences = fq.join(tq, "event_type")
+    // r6: ONE pass over the ranked relation — `percentile` ignores nulls,
+    // so the two half-range quartiles are conditional aggregates of the
+    // same groupBy instead of two subtrees that each recompute the window
+    // sort and then join (guide §2.4; the round-5 shape paid the
+    // rank-window twice). The not-null filter mirrors the former inner
+    // join: a group whose sub-range is empty produced no fq/tq row before.
+    val fences = ranked
+      .groupBy(col("event_type"))
+      .agg(
+        percentile(when(col("rn") <= (col("h") / 2).cast("long"), col("value")),
+          lit(0.25)).as("q1"),
+        percentile(when(col("rn") > col("h") &&
+            col("rn") <= col("h") + ((col("n") - col("h")) / 2).cast("long"), col("value")),
+          lit(0.75)).as("q3"))
+      .filter(col("q1").isNotNull && col("q3").isNotNull)
       .withColumn("lo", col("q1") - (col("q3") - col("q1")) * 1.5)
       .withColumn("hi", col("q3") + (col("q3") - col("q1")) * 1.5)
     events.join(broadcast(fences), "event_type")

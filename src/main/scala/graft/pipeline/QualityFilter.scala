@@ -34,8 +34,10 @@ case class QualityResult(labeled: DataFrame, slim: DataFrame, metrics: DataFrame
   * Execution shape at scale (SURVEY.md §3 lifecycle):
   *  - model training: 2 distributed count-aggregations (map-side combine,
   *    associative integer counts ⇒ parallelism-independent models);
-  *  - scoring: ONE typed mapPartitions pass with both broadcast models
-  *    (single deserialization of content per row);
+  *  - scoring: ONE native-expression pass with both broadcast models
+  *    ([[graft.functions.ScoreModels]] — single content scan per row,
+  *    content column untouched; the typed mapPartitions [[score]] is the
+  *    spec twin);
   *  - metrics: pure Catalyst column expressions (whole-stage codegen);
   *  - per-lang stats: tiny aggregate (rows = |langs|) broadcast-joined back
   *    — the scalar-fence shape of the reference's W6/W7 rules;
@@ -115,21 +117,40 @@ object QualityFilter {
       percentile(col("n_chars"), lit(0.25)).as("chars_q1"),
       percentile(col("n_chars"), lit(0.75)).as("chars_q3"))
 
+  /** The Scored column order — the contract every downstream stage sees. */
+  private val ScoredCols =
+    Seq("repo", "path", "commit", "lang", "content", "lang_pred", "lang_margin", "ppl")
+
   def run(corpus: Dataset[SourceFile], cfg: Config = Config()): QualityResult = {
     val spark = corpus.sparkSession
-    import spark.implicits._
     val input = if (cfg.cache) corpus.persist(StorageLevel.MEMORY_AND_DISK) else corpus
-    val scored: Dataset[Scored] =
+    // r6: scoring as COLUMN expressions instead of the typed mapPartitions
+    // pass ([[score]], kept as the differential-spec twin) — the Dataset hop
+    // re-encoded the full content into every output row and its opaque map
+    // blocked column pruning; the native [[graft.functions.ScoreModels]]
+    // expression produces just the score struct while content flows through
+    // untouched (the inert branch is pure literals — no row conversion at
+    // all). Values are bit-identical (ScoreModels delegates to the same
+    // predictFused; spec-gated).
+    val scored: DataFrame =
       if (cfg.models) {
         // fused single-pass training of both broadcast models (one job)
         val trained = graft.lm.Models.train(input)
         val langModel = spark.sparkContext.broadcast(trained.langId)
         val pplModel = spark.sparkContext.broadcast(trained.ppl)
-        score(input, langModel, pplModel)
+        input.toDF()
+          .withColumn("__score",
+            graft.functions.ScoreModels.col(col("content"), langModel, pplModel))
+          .select(ScoredCols.map(c =>
+            if (Set("lang_pred", "lang_margin", "ppl")(c)) col(s"__score.$c").as(c)
+            else col(c)): _*)
       } else {
         // inert model stages (cfg.models scaladoc): no training job at all
-        input.map(f => Scored(f.repo, f.path, f.commit, f.lang, f.content,
-          f.lang, 0.0, 0.0))
+        input.toDF()
+          .withColumn("lang_pred", col("lang"))
+          .withColumn("lang_margin", lit(0.0))
+          .withColumn("ppl", lit(0.0))
+          .select(ScoredCols.map(col): _*)
       }
     // Everything content-derived that does NOT depend on the per-lang stats
     // — scores, metrics, content/scrubbed shas — is computed in ONE pass,
@@ -139,7 +160,7 @@ object QualityFilter {
     // materialization of the only content pass after training; round 4
     // fused that pass's four content expressions (TextStats, sha256,
     // scrub, sha256 of scrubbed) into the single-scan QfCore expression.
-    val slimCore = TextMetrics.withMetricsAndShas(scored.toDF())
+    val slimCore = TextMetrics.withMetricsAndShas(scored)
       .drop("content")
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Per-lang stats are one row per lang: materialize them eagerly into a
@@ -163,7 +184,7 @@ object QualityFilter {
     // full labeled view (with content + scrubbed text) recomputes lazily
     // from the input for callers that need the text; the slim path below
     // never re-reads content
-    val labeled = label(TextMetrics.withMetrics(scored.toDF())
+    val labeled = label(TextMetrics.withMetrics(scored)
       .withColumn("content_sha256", Scrub.sha256Hex(col("content")))
       .withColumn("scrubbed", Scrub.scrub(col("content")))
       .withColumn("scrubbed_sha256", Scrub.sha256Hex(col("scrubbed"))))

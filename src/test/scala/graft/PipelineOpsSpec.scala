@@ -230,6 +230,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("fused k-means training loop equals the Spark-agg twin bit-for-bit") {
+    val e = Tables.embeddings(spark, dir)
+    for ((nlist, parts) <- Seq((4, 2), (8, 5))) {
+      val fused = Ann.trainLoopFor(e.repartition(parts), "vec_id", "embedding",
+        nlist, iters = 3, viaAgg = false)
+      val agg = Ann.trainLoopFor(e.repartition(parts), "vec_id", "embedding",
+        nlist, iters = 3, viaAgg = true)
+      assert(fused.length == agg.length)
+      fused.zip(agg).zipWithIndex.foreach { case ((f, a), i) =>
+        assert(f.sameElements(a), s"centroid $i diverges (nlist=$nlist, parts=$parts)")
+      }
+    }
+  }
+
   test("ANN IVF: nontrivial recall vs brute force, deterministic across partitionings") {
     val e = Tables.embeddings(spark, dir)
     val q = e.filter(col("vec_id") % 97 === 0)

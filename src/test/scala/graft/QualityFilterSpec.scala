@@ -143,6 +143,22 @@ class QualityFilterSpec extends AnyFunSuite {
     }
   }
 
+  test("ScoreModels expression scoring is bit-identical to the mapPartitions twin") {
+    import org.apache.spark.sql.functions.col
+    val trained = graft.lm.Models.train(corpus)
+    val bcL = spark.sparkContext.broadcast(trained.langId)
+    val bcP = spark.sparkContext.broadcast(trained.ppl)
+    val viaMap = QualityFilter.score(corpus, bcL, bcP).toDF()
+      .select("path", "lang_pred", "lang_margin", "ppl")
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getDouble(2), r.getDouble(3))).toMap
+    val viaExpr = corpus.toDF()
+      .withColumn("__s", graft.functions.ScoreModels.col(col("content"), bcL, bcP))
+      .select(col("path"), col("__s.lang_pred"), col("__s.lang_margin"), col("__s.ppl"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(viaExpr.size == viaMap.size && viaExpr == viaMap,
+      "expression scoring diverges from the mapPartitions twin")
+  }
+
   test("scrub is idempotent and removes PII patterns") {
     val texts = (0L until 500L).map(i => Corpus.genRow(Seed, i).content)
     texts.foreach { t =>
