@@ -102,15 +102,22 @@ object ConnectedComponents {
     val canonical = canon(edges.select(
       col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b")))
 
-    def checksum(e: DataFrame): (Long, Long) = {
-      val r: Row = e.agg(
+    // r6: the (count, hash-sum) convergence checksum rides the CHECKPOINT
+    // action itself via observe() — one job per round instead of the
+    // round-5 checkpoint-then-aggregate pair (the aggregate was cheap but
+    // each extra action pays the full local-mode job latency; guide §1.2
+    // step 1, fewer passes).
+    def checkpointWithChecksum(e: DataFrame): (DataFrame, (Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val ck = e.observe(obs,
         count(lit(1)).as("c"),
-        coalesce(sum(xxhash64(col("a"), col("b"))), lit(0L)).as("h")).head()
-      (r.getLong(0), r.getLong(1))
+        coalesce(sum(xxhash64(col("a"), col("b"))), lit(0L)).as("h"))
+        .localCheckpoint(true) // eager: obs is complete when this returns
+      val r = obs.get
+      (ck, (r("c").asInstanceOf[Long], r("h").asInstanceOf[Long]))
     }
 
-    var cur = canonical.localCheckpoint(true)
-    var curChk = checksum(cur)
+    var (cur, curChk) = checkpointWithChecksum(canonical)
     if (curChk._1 == 0L) { // no edges: every node is its own singleton
       return canonical.sparkSession.createDataFrame(
         canonical.sparkSession.sparkContext.emptyRDD[Row],
@@ -122,8 +129,7 @@ object ConnectedComponents {
     while (!converged && it < maxIter) {
       // localCheckpoint each round: see the class doc — lineage truncation
       // here is what keeps the per-round plan (and optimizer time) constant
-      val next = canon(smallStar(largeStar(cur))).localCheckpoint(true)
-      val nextChk = checksum(next)
+      val (next, nextChk) = checkpointWithChecksum(canon(smallStar(largeStar(cur))))
       if (nextChk == curChk) converged = true
       cur = next // superseded round's RDD is reclaimed by the ContextCleaner
       curChk = nextChk
@@ -146,19 +152,21 @@ object ConnectedComponents {
 
   /** (id, component, csize) for EVERY node in `nodes`: edge-connected nodes
     * get their component minimum, isolated nodes themselves (csize 1 unless
-    * other members exist). The size join shuffles on `component` — one row
-    * per node on one side, one per component on the other.
+    * other members exist). csize is a count-over-component WINDOW — one
+    * shuffle of the label relation and one pass, where the round-5
+    * groupBy + join shape computed the (unpersisted) label join twice and
+    * shuffled three times (guide §2.4).
     */
   def componentsFor(nodes: DataFrame, idCol: String,
       edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50): DataFrame = {
     val comp = connectedComponents(edges, aCol, bCol, maxIter)
       .withColumnRenamed("id", idCol)
-    val labeled = nodes.select(col(idCol).cast("long").as(idCol))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+    nodes.select(col(idCol).cast("long").as(idCol))
       .join(comp, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("component"), col(idCol)).as("component"))
-    val sizes = labeled.groupBy("component").agg(count(lit(1)).as("csize"))
-    labeled.join(sizes, "component")
+      .withColumn("csize", count(lit(1)).over(w))
       .select(col(idCol), col("component"), col("csize"))
   }
 }

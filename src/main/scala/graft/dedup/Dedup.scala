@@ -222,21 +222,29 @@ object Dedup {
       .join(sizes, idCol)
       .filter(col("rk") <= floor(lit(1.0 - threshold) * col("n_sh")) + 2)
     val a = ranked.select(blockCols.map(col) :+ col(idCol).as("a_id") :+
-      col("shingle") :+ col("n_sh").as("na"): _*)
+      col("shingle") :+ col("n_sh").as("na") :+ col("rk").as("ra"): _*)
     val b = ranked.select(blockCols.map(col) :+ col(idCol).as("b_id") :+
-      col("shingle") :+ col("n_sh").as("nb"): _*)
-    // PPJoin length filter — EXACT: J(a,b) ≥ t ⇒ inter ≤ min(na,nb) and
-    // union ≥ max(na,nb), so min ≥ t·max for every qualifying pair; the
-    // 1e-9 slack absorbs double rounding of t·max (sizes are integers, so
-    // the true margin of a borderline pair is ≥ 0 in exact arithmetic while
-    // double error is ~1e-11). Cuts candidate volume BEFORE the distinct
-    // and the verification joins; the surviving set is still a superset of
-    // the true pairs, and verification is exact (guide §3: reduce the join
-    // volume with a lossless pre-filter).
+      col("shingle") :+ col("n_sh").as("nb") :+ col("rk").as("rb"): _*)
+    // Two EXACT PPJoin candidate filters, both a provable superset of the
+    // true pairs (verification is exact, so the result is unchanged;
+    // guide §3: reduce join volume with lossless pre-filters):
+    //  - LENGTH: J ≥ t ⇒ inter ≤ min(na,nb) and union ≥ max(na,nb) ⇒
+    //    min ≥ t·max.
+    //  - POSITIONAL: rk is each doc's rank under ONE global (shf, shingle)
+    //    order. For the FIRST shared token of a pair (ranks ra, rb) every
+    //    other shared token ranks strictly later on both sides, so
+    //    inter ≤ 1 + min(na−ra, nb−rb); a true pair has inter ≥
+    //    t·union ≥ t·(na+nb)/(1+t), so its first-shared-token row passes —
+    //    requiring ANY matched row to pass keeps every true pair (later
+    //    shared tokens may fail, which only prunes harder).
+    // 1e-9 slacks absorb double rounding (integer operands, ~1e-11 error).
+    val minOverlap = lit(threshold) * (col("na") + col("nb")) / lit(1.0 + threshold)
     val cands = a.join(b, blockCols :+ "shingle")
       .filter(col("a_id") < col("b_id") &&
         least(col("na"), col("nb")).cast("double") >=
-          lit(threshold) * greatest(col("na"), col("nb")) - lit(1e-9))
+          lit(threshold) * greatest(col("na"), col("nb")) - lit(1e-9) &&
+        (lit(1.0) + least(col("na") - col("ra"), col("nb") - col("rb"))) >=
+          minOverlap - lit(1e-9))
       .select("a_id", "b_id").distinct()
     (verifyJaccard(cands, sh, idCol, threshold, sizes), () => { sh.unpersist(); () })
   }

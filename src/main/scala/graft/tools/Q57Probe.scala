@@ -18,6 +18,31 @@ object Q57Probe {
     }
 
     val docs = Tables.spread(Tables.documents(spark, dir))
+    // stage volumes at tau=0.5 (informs candidate-filter work)
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      val threshold = 0.5
+      val sh = Dedup.shingles(docs, "doc_id", "text", 3, Seq("lang"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("shf"))
+      val ranked = sh.join(freq, "shingle")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("shf").asc, col("shingle").asc)))
+        .join(sizes, "doc_id")
+        .filter(col("rk") <= floor(lit(1.0 - threshold) * col("n_sh")) + 2)
+      println("  sh=" + sh.count() + " ranked=" + ranked.count())
+      val a = ranked.select(col("lang"), col("doc_id").as("a_id"), col("shingle"), col("n_sh").as("na"))
+      val b = ranked.select(col("lang"), col("doc_id").as("b_id"), col("shingle"), col("n_sh").as("nb"))
+      val joined = a.join(b, Seq("lang", "shingle")).filter(col("a_id") < col("b_id"))
+      println("  joinRows=" + joined.count())
+      val lenOk = joined.filter(least(col("na"), col("nb")).cast("double") >=
+        lit(threshold) * greatest(col("na"), col("nb")) - lit(1e-9))
+      println("  joinRowsAfterLenFilter=" + lenOk.count())
+      println("  cands=" + lenOk.select("a_id", "b_id").distinct().count())
+      sh.unpersist()
+      spark.catalog.clearCache()
+    }
     val (pairs, release) = Dedup.jaccardPairsPrefixReleasable(
       docs, "doc_id", "text", Seq("lang"), 3, 0.5)
     val p = t("pair join (materialize)")(pairs.persist())
