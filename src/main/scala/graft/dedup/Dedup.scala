@@ -291,16 +291,26 @@ object Dedup {
       threshold: Double, sizes: DataFrame): DataFrame = {
     val aSh = sh.select(col(idCol).as("a_id"), col("shingle"))
     val bSh = sh.select(col(idCol).as("b_id"), col("shingle"))
+    // r6: sizes attached BEFORE the intersection joins — (a) the exact
+    // length filter (J ≥ t ⇒ min(na,nb) ≥ t·max, 1e-9 rounding slack over
+    // integer operands) drops can't-qualify candidates before the heavy
+    // candidate × shingle joins, and (b) na/nb ride the groupBy keys, so
+    // the round-5 trailing re-joins of the sizes relation are gone
+    // (guide §3.2 pre-filter + §2.4 remove shuffles). Both are
+    // result-preserving: dropped pairs had j < t by the bound, and the
+    // grouping keys (a_id, b_id) functionally determine (na, nb).
     val inter = cands
+      .join(sizes.select(col(idCol).as("a_id"), col("n_sh").as("na")), "a_id")
+      .join(sizes.select(col(idCol).as("b_id"), col("n_sh").as("nb")), "b_id")
+      .filter(least(col("na"), col("nb")).cast("double") >=
+        lit(threshold) * greatest(col("na"), col("nb")) - lit(1e-9))
       .join(aSh, "a_id")                 // (a, b, shingle of a)
       .join(bSh, Seq("b_id", "shingle")) // keep shingles present in b too
-      .groupBy(col("a_id"), col("b_id"))
+      .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
       // sh carries each (id, shingle) once — guaranteed by [[shingles]]'
       // per-row dedup under its unique-id contract (see its scaladoc)
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.select(col(idCol).as("a_id"), col("n_sh").as("na")), "a_id")
-      .join(sizes.select(col(idCol).as("b_id"), col("n_sh").as("nb")), "b_id")
       .withColumn("j", round(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")), 6))
       .filter(col("j") >= threshold)

@@ -109,6 +109,15 @@ object QualityFilter {
 
   /** Per-lang distribution stats (exact percentiles + decimal-exact moments)
     * — tiny result, broadcast back. Reference A1-A4 analogue.
+    *
+    * (r6 measured note: a `groupBy(lang, n_chars).count` histogram with
+    * driver-side exact interpolation ([[percentileFromHistogram]], pinned
+    * bit-identical by spec) was tried and REVERTED — document lengths are
+    * nearly unique, so the "histogram" is the full table (a 500k-row
+    * shuffle + collect) and the split into two jobs slowed every QF query
+    * 30-90 %. The single percentile aggregate below is the right shape for
+    * this distribution; the histogram form only wins when the value domain
+    * is far smaller than the row count.)
     */
   def langStats(withMetrics: DataFrame): DataFrame =
     withMetrics.groupBy(col("lang")).agg(
@@ -116,6 +125,32 @@ object QualityFilter {
       Exact.dstddevPop(col("ppl"), 6).as("ppl_sigma"),
       percentile(col("n_chars"), lit(0.25)).as("chars_q1"),
       percentile(col("n_chars"), lit(0.75)).as("chars_q3"))
+
+  /** Spark's `Percentile.getPercentile` replayed over a (value, count)
+    * histogram: position = p·(N−1); lowerKey/higherKey are the values whose
+    * cumulative count first exceeds floor/ceil(position); result is
+    * `(higher − position)·lowerKey + (position − lower)·higherKey` — the
+    * builtin's exact double arithmetic, so fences are bit-identical.
+    */
+  private[graft] def percentileFromHistogram(counts: Seq[(Long, Long)],
+      p: Double): Double = {
+    val sorted = counts.sortBy(_._1)
+    val n = sorted.map(_._2).sum
+    val position = p * (n - 1)
+    val lower = math.floor(position).toLong
+    val higher = math.ceil(position).toLong
+    var cum = 0L
+    var i = 0
+    while (cum <= lower) { cum += sorted(i)._2; i += 1 }
+    val lowerKey = sorted(i - 1)._1.toDouble
+    if (higher == lower) lowerKey
+    else {
+      while (cum <= higher) { cum += sorted(i)._2; i += 1 }
+      val higherKey = sorted(i - 1)._1.toDouble
+      if (lowerKey == higherKey) lowerKey
+      else (higher - position) * lowerKey + (position - lower) * higherKey
+    }
+  }
 
   /** The Scored column order — the contract every downstream stage sees. */
   private val ScoredCols =

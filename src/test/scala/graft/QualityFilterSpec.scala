@@ -159,6 +159,38 @@ class QualityFilterSpec extends AnyFunSuite {
       "expression scoring diverges from the mapPartitions twin")
   }
 
+  test("histogram percentile equals the Spark percentile builtin bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xfe11)
+    val cases: Seq[Seq[Long]] = Seq(
+      Seq(5L), Seq(5L, 5L), Seq(1L, 2L), Seq(1L, 2L, 3L), Seq(7L, 7L, 7L, 9L),
+      Seq(0L, 1000000L), (1L to 100L).toSeq, Seq.fill(50)(3L) ++ Seq.fill(50)(4L)) ++
+      (0 until 30).map(_ => Seq.fill(1 + rnd.nextInt(200))(rnd.nextInt(50).toLong))
+    for ((vs, ci) <- cases.zipWithIndex; p <- Seq(0.25, 0.5, 0.75)) {
+      val builtin = vs.toDF("v")
+        .agg(percentile(col("v"), lit(p))).collect()(0).getDouble(0)
+      val viaHist = QualityFilter.percentileFromHistogram(
+        vs.groupBy(identity).map { case (v, g) => (v, g.size.toLong) }.toSeq, p)
+      assert(java.lang.Double.doubleToLongBits(builtin) ==
+        java.lang.Double.doubleToLongBits(viaHist),
+        s"case $ci p=$p: builtin=$builtin hist=$viaHist")
+    }
+    // and on the real per-lang documents length distributions
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.01")
+    val byLang = docs.select(col("lang"), length(col("text")).as("n")).collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong)).groupBy(_._1)
+    byLang.foreach { case (lang, vs0) =>
+      val vs = vs0.map(_._2).toSeq
+      for (p <- Seq(0.25, 0.75)) {
+        val builtin = vs.toDF("v").agg(percentile(col("v"), lit(p))).collect()(0).getDouble(0)
+        val viaHist = QualityFilter.percentileFromHistogram(
+          vs.groupBy(identity).map { case (v, g) => (v, g.size.toLong) }.toSeq, p)
+        assert(builtin == viaHist, s"lang=$lang p=$p: $builtin vs $viaHist")
+      }
+    }
+  }
+
   test("scrub is idempotent and removes PII patterns") {
     val texts = (0L until 500L).map(i => Corpus.genRow(Seed, i).content)
     texts.foreach { t =>
