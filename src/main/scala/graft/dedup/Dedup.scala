@@ -62,6 +62,40 @@ object Dedup {
     df.groupBy(sha2(col(contentCol).cast("binary"), 256).as("content_sha"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dups"))
 
+  /** (id, blockCols..., sh_arr: array<long>) — the PRE-EXPLODE form of
+    * [[shingles]]: one row per document carrying its full distinct-shingle
+    * hash array (the same single-pass [[graft.functions.ShingleHashes]]
+    * expression). The similarity joins persist THIS relation (r6): per-doc
+    * sizes (`n_sh = size(sh_arr)`) and MinHash signatures become NARROW
+    * per-row projections of the cache — no groupBy shuffle at all — while
+    * every join consumer explodes from the cache (a cheap in-task op).
+    * The array is the same order of bytes as the content itself (8 bytes
+    * per distinct word window), so the per-row materialization adds no
+    * scale hazard the text column did not already carry; nothing here ever
+    * SHUFFLES the array (joins and aggregations all run on the exploded
+    * fixed-width rows, as before).
+    */
+  def shingleArrays(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      blockCols: Seq[String] = Seq.empty): DataFrame =
+    df.select((idCol +: blockCols).map(col) :+
+      graft.functions.ShingleHashes.col(col(textCol), n).as("sh_arr"): _*)
+
+  /** Explode an [[shingleArrays]] relation to (id, blockCols..., shingle). */
+  private def explodeShingles(arr: DataFrame, idCol: String,
+      blockCols: Seq[String]): DataFrame =
+    arr.select((idCol +: blockCols).map(col) :+
+      explode(col("sh_arr")).as("shingle"): _*)
+
+  /** (id, n_sh) from the array relation — a narrow projection, replacing
+    * the round-5 `groupBy(id).count` over the exploded rows (guide §2.4:
+    * one aggregation shuffle per similarity-join call removed). n_sh equals
+    * the exploded row count per id exactly: the array is per-row distinct
+    * and ids are unique (see [[shingles]]' contract). Cast to long keeps
+    * the former count()'s type.
+    */
+  private def sizesOf(arr: DataFrame, idCol: String): DataFrame =
+    arr.select(col(idCol), size(col("sh_arr")).cast("long").as("n_sh"))
+
   /** Distinct word n-gram shingles per row, HASHED to 64 bits:
     * (id, blockCols..., shingle: long = xxhash64 of the shingle string).
     * Sequence is guarded so short texts yield no shingles (Spark's default
@@ -93,8 +127,7 @@ object Dedup {
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
       blockCols: Seq[String] = Seq.empty): DataFrame =
-    df.select((idCol +: blockCols).map(col) :+
-      explode(graft.functions.ShingleHashes.col(col(textCol), n)).as("shingle"): _*)
+    explodeShingles(shingleArrays(df, idCol, textCol, n, blockCols), idCol, blockCols)
 
   /** The round-5 column-chain formulation of [[shingles]] — the
     * differential-test twin of the single-pass native expression
@@ -143,8 +176,9 @@ object Dedup {
       maxShingleDf: Long = Long.MaxValue): DataFrame = {
     requirePositiveThreshold(threshold)
     assertUniqueIds(df, idCol)
-    val sh = shingles(df, idCol, textCol, n, blockCols)
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val arr = shingleArrays(df, idCol, textCol, n, blockCols)
+    val sh = explodeShingles(arr, idCol, blockCols)
+    val sizes = sizesOf(arr, idCol)
     if (maxShingleDf == Long.MaxValue) {
       val a = sh.select(blockCols.map(col) :+ col(idCol).as("a_id") :+ col("shingle"): _*)
       val b = sh.select(blockCols.map(col) :+ col(idCol).as("b_id") :+ col("shingle"): _*)
@@ -162,13 +196,13 @@ object Dedup {
     } else {
       // stop-shingle path: candidates from sub-cap shingles only, then the
       // usual exact verification (which counts ALL shared shingles).
-      // The shingle relation feeds the df counts, both join sides, and the
-      // verification — persist it like the prefix path (evicted LRU or via
-      // clearCache; callers wanting deterministic release use the
+      // The ARRAY relation feeds the df counts, both join sides, the sizes,
+      // and the verification — persist it like the prefix path (evicted LRU
+      // or via clearCache; callers wanting deterministic release use the
       // releasable prefix variant, which subsumes this plan at scale)
-      val shP = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      arr.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val keys = blockCols :+ "shingle"
-      val rare = shP.join(
+      val rare = sh.join(
         sh.groupBy(keys.map(col): _*).agg(count(lit(1)).as("shdf"))
           .filter(col("shdf") <= maxShingleDf).drop("shdf"),
         keys)
@@ -201,25 +235,33 @@ object Dedup {
     * relation — the result is lazy, so only the CALLER knows when it has
     * been consumed and the cache can go (see [[lshNearDupPairsReleasable]]).
     *
-    * The (id, blocks, shingle) relation is computed ONCE and persisted: it
-    * feeds the per-doc sizes, the global shingle frequencies, the ranked
-    * prefix join, AND the verification pass — four consumers that would
-    * otherwise each re-scan and re-shingle the full content (shingling
-    * dominates the cost; round 3 measured ~5 content scans here).
+    * The (id, blocks, sh_arr) ARRAY relation is computed ONCE and persisted:
+    * it feeds the per-doc sizes (narrow `size(sh_arr)` projection), the
+    * global shingle frequencies, the ranked prefix join, AND the
+    * verification pass — consumers that would otherwise each re-scan and
+    * re-shingle the full content (shingling dominates the cost; round 3
+    * measured ~5 content scans here).
     */
   def jaccardPairsPrefixReleasable(df: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], n: Int = 3, threshold: Double = 0.8): (DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
     requirePositiveThreshold(threshold)
     assertUniqueIds(df, idCol)
-    val sh = shingles(df, idCol, textCol, n, blockCols)
+    // r6: persist the ARRAY relation ([[shingleArrays]]). Sizes are a narrow
+    // projection of it (no groupBy shuffle), n_sh rides the exploded rows
+    // from the start (the round-5 ranked-side sizes JOIN is gone), and the
+    // verification pass explodes from the same cache (guide §2.4).
+    val arr = shingleArrays(df, idCol, textCol, n, blockCols)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val sh = explodeShingles(arr, idCol, blockCols)
+    val sizes = sizesOf(arr, idCol)
+    val withN = arr.select((idCol +: blockCols).map(col) :+
+      size(col("sh_arr")).cast("long").as("n_sh") :+
+      explode(col("sh_arr")).as("shingle"): _*)
     val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("shf"))
-    val ranked = sh.join(freq, "shingle")
+    val ranked = withN.join(freq, "shingle")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("shf").asc, col("shingle").asc)))
-      .join(sizes, idCol)
       .filter(col("rk") <= floor(lit(1.0 - threshold) * col("n_sh")) + 2)
     val a = ranked.select(blockCols.map(col) :+ col(idCol).as("a_id") :+
       col("shingle") :+ col("n_sh").as("na") :+ col("rk").as("ra"): _*)
@@ -246,7 +288,7 @@ object Dedup {
         (lit(1.0) + least(col("na") - col("ra"), col("nb") - col("rb"))) >=
           minOverlap - lit(1e-9))
       .select("a_id", "b_id").distinct()
-    (verifyJaccard(cands, sh, idCol, threshold, sizes), () => { sh.unpersist(); () })
+    (verifyJaccard(cands, sh, idCol, threshold, sizes), () => { arr.unpersist(); () })
   }
 
   /** Debug guard for [[shingles]]' unique-id contract (see its scaladoc):
@@ -388,12 +430,12 @@ object Dedup {
     * Jaccard verification (intersection counting, candidate-restricted) —
     * never a full shingle set in one row.
     *
-    * The (id, shingle) relation is computed ONCE and persisted
+    * The (id, sh_arr) ARRAY relation is computed ONCE and persisted
     * (memory-with-disk-spill) so the signature pass and the verification
-    * pass share a single shingling of the corpus — shingling (explode +
-    * distinct over every word position) dominates the cost, and without the
-    * shared materialization both branches of the plan would re-scan and
-    * re-shingle the full content. The cache entry is keyed by the logical
+    * pass share a single shingling of the corpus — shingling dominates the
+    * cost, and without the shared materialization both branches of the plan
+    * would re-scan and re-shingle the full content. Signatures are a narrow
+    * per-row projection of the cache (no shuffle). The cache entry is keyed by the logical
     * plan, so repeated calls over the same input reuse one entry; it is
     * evicted LRU under memory pressure, explicitly via
     * `spark.catalog.clearCache()`, or — the targeted form — by the release
@@ -422,9 +464,23 @@ object Dedup {
     requirePositiveThreshold(threshold)
     assertUniqueIds(df, idCol)
     val rowsPerBand = k / bands
-    val sh = shingles(df, idCol, textCol, n)
+    // r6: persist the ARRAY relation; signatures are a NARROW per-row
+    // [[graft.functions.MinHashSig]] projection of it (each document's
+    // shingles already live in its one row — no aggregation shuffle at
+    // all, where the round-5 aggregator groupBy shuffled O(docs × K)
+    // longs). Values are bit-identical: same pmod(hash, prime) inputs,
+    // same affine transforms, and element-wise min is order-independent
+    // (the existing MinHashAggregator-vs-MinHashSig differential spec pins
+    // this). Docs with zero shingles are filtered — the aggregator path
+    // emitted no row for them (no exploded rows to group).
+    val arr = shingleArrays(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = minhashSignaturesFromShingles(sh, idCol, k)
+    val nonEmpty = arr.filter(size(col("sh_arr")) > 0)
+    val (coefA, coefB) = minhashCoefficients(k)
+    val sig = nonEmpty.select(col(idCol),
+      graft.functions.MinHashSig.col(
+        transform(col("sh_arr"), h => pmod(h, lit(MinHashPrime))),
+        coefA, coefB, MinHashPrime).as("sig"))
     val banded = sig.select(
       col(idCol),
       explode(array((0 until bands).map { b =>
@@ -436,8 +492,9 @@ object Dedup {
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
       .distinct()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    (verifyJaccard(cands, sh, idCol, threshold, sizes), () => { sh.unpersist(); () })
+    val sizes = sizesOf(nonEmpty, idCol)
+    (verifyJaccard(cands, explodeShingles(arr, idCol, Seq.empty), idCol, threshold, sizes),
+      () => { arr.unpersist(); () })
   }
 
   /** The 100 TB composition: collapse identical texts to their min-id

@@ -137,10 +137,10 @@ object PipelineQueries {
     val docs = Tables.spread(Tables.documents(s, dir))
       .filter(col("doc_id") % 2 === 0)
     // persist first: the cap probe below and jaccardPairs' internal shingle
-    // relation are plan-equal, so both read ONE cached shingling
-    val sh = Dedup.shingles(docs, "doc_id", "text", 3, Seq("lang"))
+    // ARRAY relation are plan-equal, so both read ONE cached shingling
+    val arr = Dedup.shingleArrays(docs, "doc_id", "text", 3, Seq("lang"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val maxRow = sh
+    val maxRow = arr.select(col("lang"), explode(col("sh_arr")).as("shingle"))
       .groupBy(col("lang"), col("shingle")).agg(count(lit(1)).as("df"))
       .agg(max(col("df"))).collect()(0)
     // empty half-corpus → null max; MaxValue takes the (equivalent) uncapped

@@ -74,6 +74,37 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("per-row array-form signatures (r6 hot path) equal the aggregator path exactly") {
+    import spark.implicits._
+    // real corpus PLUS degenerate rows — the aggregator path emits NO row
+    // for shingle-less docs; the array path must filter them identically
+    // (lshNearDupPairsReleasable's nonEmpty). "" and "one two" tokenize
+    // below n = 3; "   " yields 4 EMPTY tokens (split limit −1 semantics,
+    // pinned by ShingleHashesSpec) and therefore HAS shingles — it must be
+    // present in both maps, which the equality assert covers.
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+      .unionByName(Seq((900001L, ""), (900002L, "   "), (900003L, "one two"))
+        .toDF("doc_id", "text"))
+    def sigs(f: => org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      f.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    for (k <- Seq(16, 32)) {
+      val (coefA, coefB) = Dedup.minhashCoefficients(k)
+      val prime = 2147483647L
+      val arr = Dedup.shingleArrays(docs, "doc_id", "text", 3)
+      val perRow = sigs(arr.filter(size(col("sh_arr")) > 0).select(col("doc_id"),
+        graft.functions.MinHashSig.col(
+          transform(col("sh_arr"), h => pmod(h, lit(prime))), coefA, coefB, prime).as("sig")))
+      val viaAgg = sigs(Dedup.minhashSignaturesFromShingles(
+        Dedup.shingles(docs, "doc_id", "text", 3), "doc_id", k))
+      assert(perRow.size == viaAgg.size && perRow == viaAgg,
+        s"k=$k: per-row array path diverges from the aggregator path")
+      assert(!perRow.contains(900001L) && !perRow.contains(900003L),
+        "shingle-less docs must have no signature")
+      assert(perRow.contains(900002L),
+        "all-spaces doc has empty-token shingles and must keep its signature")
+    }
+  }
+
   test("distinct-representative LSH equals plain LSH on duplicate-free input and ignores clones") {
     import spark.implicits._
     val base = Tables.documents(spark, dir).select("doc_id", "text")
