@@ -128,7 +128,13 @@ object ConnectedComponents {
     var it = 0
     while (!converged && it < maxIter) {
       // localCheckpoint each round: see the class doc — lineage truncation
-      // here is what keeps the per-round plan (and optimizer time) constant
+      // here is what keeps the per-round plan (and optimizer time) constant.
+      // (r6 measured note: TWO alternations per checkpoint — half the
+      // materializations, semantically safe since the algorithm converges
+      // monotonically to a unique fixed point — was tried and REVERTED:
+      // the ~144-leaf per-round plan's analyze/optimize cost exceeded the
+      // saved job latency, q57 3.0 → 5.1 s. One alternation per truncation
+      // is the right depth for this plan shape.)
       val (next, nextChk) = checkpointWithChecksum(canon(smallStar(largeStar(cur))))
       if (nextChk == curChk) converged = true
       cur = next // superseded round's RDD is reclaimed by the ContextCleaner
