@@ -1,0 +1,42 @@
+package graft.tools
+
+import graft.core.{GraftSession, Tables}
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+/** Dev-only: where does the shingle family's floor go? Times the array
+  * materialization (scan + spread + ShingleHashes + cache build) separately
+  * from the downstream machinery, plus a no-spread variant.
+  */
+object ShingleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.local(32, "shingle-probe")
+    def t[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[shp] $name%-44s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      r
+    }
+    (1 to 3).foreach { round =>
+      spark.catalog.clearCache()
+      val docs = Tables.spread(Tables.documents(spark, dir))
+      val arr = Dedup.shingleArrays(docs, "doc_id", "text", 3, Seq("lang"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t(s"r$round arr materialize (scan+spread+hash+cache)")(arr.count())
+      t(s"r$round freq agg from cache")(
+        arr.select(explode(col("sh_arr")).as("s")).groupBy("s").count().count())
+      t(s"r$round noop full explode from cache")(
+        arr.select(col("doc_id"), explode(col("sh_arr")).as("s"))
+          .write.format("noop").mode("overwrite").save())
+      arr.unpersist()
+      // no-spread: 1-partition scan, shingle, count (parallelism floor check)
+      val arrNs = Dedup.shingleArrays(Tables.documents(spark, dir), "doc_id", "text", 3, Seq("lang"))
+      t(s"r$round no-spread no-cache arr count")(arrNs.count())
+      // spread but no cache
+      val arrNc = Dedup.shingleArrays(Tables.spread(Tables.documents(spark, dir)), "doc_id", "text", 3, Seq("lang"))
+      t(s"r$round spread no-cache arr count")(arrNc.count())
+    }
+    spark.stop()
+  }
+}
