@@ -86,6 +86,20 @@ object Dedup {
     arr.select((idCol +: blockCols).map(col) :+
       explode(col("sh_arr")).as("shingle"): _*)
 
+  /** Per-block shingle document frequencies of an [[shingleArrays]] relation:
+    * (blockCols..., shingle, shdf). Exposed (rather than inlined in the
+    * capped join) so a caller that needs the SAME aggregation for its own
+    * purposes — e.g. q49's cap probe, which picks cap = max df — can build
+    * a plan-equal relation, persist it, and have the capped join's internal
+    * frequency pass served from that one cache entry instead of paying the
+    * aggregation shuffle twice (guide §2.4: the same information was being
+    * shuffled twice because the two plans differed cosmetically).
+    */
+  def shingleFreq(arr: DataFrame, idCol: String, blockCols: Seq[String]): DataFrame =
+    explodeShingles(arr, idCol, blockCols)
+      .groupBy((blockCols :+ "shingle").map(col): _*)
+      .agg(count(lit(1)).as("shdf"))
+
   /** (id, n_sh) from the array relation — a narrow projection, replacing
     * the round-5 `groupBy(id).count` over the exploded rows (guide §2.4:
     * one aggregation shuffle per similarity-join call removed). n_sh equals
@@ -202,14 +216,30 @@ object Dedup {
       // releasable prefix variant, which subsumes this plan at scale)
       arr.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val keys = blockCols :+ "shingle"
-      val rare = sh.join(
-        sh.groupBy(keys.map(col): _*).agg(count(lit(1)).as("shdf"))
+      // n_sh rides the exploded rows from the array select (free — the
+      // array is per-row), so the exact PPJoin LENGTH filter can run
+      // INSIDE the candidate join, before the distinct and the verify
+      // joins: J ≥ t ⇒ inter ≤ min(na,nb) and union ≥ max(na,nb) ⇒
+      // min ≥ t·max (1e-9 slack over integer operands). Lossless — the
+      // dropped pairs had j < t, and verification is exact — so the capped
+      // candidate SEMANTICS (q56's oracle twin) are unchanged; only pairs
+      // that could never pass the final j ≥ t filter leave the plan early
+      // (guide §3.2: cut join volume with lossless pre-filters).
+      val withN = arr.select((idCol +: blockCols).map(col) :+
+        size(col("sh_arr")).cast("long").as("n_sh") :+
+        explode(col("sh_arr")).as("shingle"): _*)
+      val rare = withN.join(
+        shingleFreq(arr, idCol, blockCols)
           .filter(col("shdf") <= maxShingleDf).drop("shdf"),
         keys)
-      val a = rare.select(blockCols.map(col) :+ col(idCol).as("a_id") :+ col("shingle"): _*)
-      val b = rare.select(blockCols.map(col) :+ col(idCol).as("b_id") :+ col("shingle"): _*)
+      val a = rare.select(blockCols.map(col) :+ col(idCol).as("a_id") :+
+        col("shingle") :+ col("n_sh").as("na"): _*)
+      val b = rare.select(blockCols.map(col) :+ col(idCol).as("b_id") :+
+        col("shingle") :+ col("n_sh").as("nb"): _*)
       val cands = a.join(b, keys)
-        .filter(col("a_id") < col("b_id"))
+        .filter(col("a_id") < col("b_id") &&
+          least(col("na"), col("nb")).cast("double") >=
+            lit(threshold) * greatest(col("na"), col("nb")) - lit(1e-9))
         .select("a_id", "b_id").distinct()
       verifyJaccard(cands, sh, idCol, threshold, sizes)
     }
@@ -488,6 +518,13 @@ object Dedup {
           xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bsig"))
       }: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bsig"))
+    // (r6 measured note: carrying n_sh through the band join for an early
+    // PPJoin length filter — the capped join's win — was tried and REVERTED
+    // here: it cut ZERO candidate rows on this corpus (859 → 859). A
+    // 64-bit band signature only collides for genuinely similar docs,
+    // whose lengths correlate, so the length bound prunes nothing the
+    // bucketing didn't already; the verify pass applies the same bound
+    // before its intersection joins anyway.)
     val cands = banded.as("x").join(banded.as("y"), Seq("band", "bsig"))
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))

@@ -140,9 +140,15 @@ object PipelineQueries {
     // ARRAY relation are plan-equal, so both read ONE cached shingling
     val arr = Dedup.shingleArrays(docs, "doc_id", "text", 3, Seq("lang"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val maxRow = arr.select(col("lang"), explode(col("sh_arr")).as("shingle"))
-      .groupBy(col("lang"), col("shingle")).agg(count(lit(1)).as("df"))
-      .agg(max(col("df"))).collect()(0)
+    // r6: the probe's frequency aggregation is built via the SAME helper
+    // (and therefore the same plan) as the capped join's internal pass and
+    // persisted, so the aggregation shuffle runs ONCE — the probe's max
+    // rides its materialization and jaccardPairs' frequency pass is served
+    // from the cache (previously the two plans differed cosmetically and
+    // the same (lang, shingle) counts were shuffled twice; guide §2.4)
+    val freq = Dedup.shingleFreq(arr, "doc_id", Seq("lang"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maxRow = freq.agg(max(col("shdf"))).collect()(0)
     // empty half-corpus → null max; MaxValue takes the (equivalent) uncapped
     // branch instead of NPE-ing on the primitive getter
     val maxDf = if (maxRow.isNullAt(0)) Long.MaxValue else maxRow.getLong(0)

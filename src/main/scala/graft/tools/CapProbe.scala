@@ -1,0 +1,105 @@
+package graft.tools
+
+import graft.core.{GraftSession, Tables}
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+/** Dev-only volume probe for the r6 lossless candidate filters: counts the
+  * candidate-join rows with and without the exact PPJoin length bound in
+  * (a) the stop-shingle capped join (q49 / q56 settings) and (b) the LSH
+  * band join (q21 settings), plus the job count of q49's shared-frequency
+  * restructure. Wall-clock on this shared host is too noisy to resolve
+  * sub-second effects; the candidate volumes are the deterministic
+  * evidence the filters act on.
+  */
+object CapProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.local(32, "cap-probe")
+
+    def volumes(label: String, docsF: org.apache.spark.sql.DataFrame,
+        cap: Long, threshold: Double): Unit = {
+      val arr = Dedup.shingleArrays(docsF, "doc_id", "text", 3, Seq("lang"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val keys = Seq("lang", "shingle")
+      val withN = arr.select(col("doc_id"), col("lang"),
+        size(col("sh_arr")).cast("long").as("n_sh"),
+        explode(col("sh_arr")).as("shingle"))
+      val rare = withN.join(
+        Dedup.shingleFreq(arr, "doc_id", Seq("lang"))
+          .filter(col("shdf") <= cap).drop("shdf"), keys)
+      val a = rare.select(col("lang"), col("doc_id").as("a_id"),
+        col("shingle"), col("n_sh").as("na"))
+      val b = rare.select(col("lang"), col("doc_id").as("b_id"),
+        col("shingle"), col("n_sh").as("nb"))
+      val joined = a.join(b, keys).filter(col("a_id") < col("b_id"))
+      val nAll = joined.count()
+      val nLen = joined.filter(least(col("na"), col("nb")).cast("double") >=
+        lit(threshold) * greatest(col("na"), col("nb")) - lit(1e-9)).count()
+      val cAll = joined.select("a_id", "b_id").distinct().count()
+      val cLen = joined.filter(least(col("na"), col("nb")).cast("double") >=
+        lit(threshold) * greatest(col("na"), col("nb")) - lit(1e-9))
+        .select("a_id", "b_id").distinct().count()
+      println(f"[capprobe] $label cap=$cap t=$threshold joinRows=$nAll -> $nLen (-${100.0 * (nAll - nLen) / math.max(nAll, 1)}%.1f%%) candPairs=$cAll -> $cLen")
+      arr.unpersist()
+      spark.catalog.clearCache()
+    }
+
+    val docs = Tables.spread(Tables.documents(spark, dir))
+
+    // q56 settings: full corpus, real cap tau=2, t=0.8
+    volumes("q56", docs, 2L, 0.8)
+    // q49 settings: deterministic half, cap=max df (lossless), t=0.8
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val arrH = Dedup.shingleArrays(half, "doc_id", "text", 3, Seq("lang"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val maxDf = Dedup.shingleFreq(arrH, "doc_id", Seq("lang"))
+      .agg(max(col("shdf"))).collect()(0).getLong(0)
+    arrH.unpersist(); spark.catalog.clearCache()
+    volumes("q49", half, maxDf, 0.8)
+
+    // q21 settings: LSH band-join candidates, sha-collapsed corpus, t=0.8
+    locally {
+      val collapsed = Dedup.shaCollapse(docs, "doc_id", "text")
+      val arr = Dedup.shingleArrays(collapsed, "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nonEmpty = arr.filter(size(col("sh_arr")) > 0)
+      val (coefA, coefB) = Dedup.minhashCoefficients(Dedup.MinHashK)
+      val prime = 2147483647L
+      val rowsPerBand = Dedup.MinHashK / Dedup.Bands
+      val sig = nonEmpty.select(col("doc_id"),
+        size(col("sh_arr")).cast("long").as("n_sh"),
+        graft.functions.MinHashSig.col(
+          transform(col("sh_arr"), h => pmod(h, lit(prime))),
+          coefA, coefB, prime).as("sig"))
+      val banded = sig.select(col("doc_id"), col("n_sh"),
+        explode(array((0 until Dedup.Bands).map { bnd =>
+          struct(lit(bnd).as("band"),
+            xxhash64(slice(col("sig"), bnd * rowsPerBand + 1, rowsPerBand)).as("bsig"))
+        }: _*)).as("bb"))
+        .select(col("doc_id"), col("n_sh"), col("bb.band"), col("bb.bsig"))
+      val j = banded.as("x").join(banded.as("y"), Seq("band", "bsig"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+      val nAll = j.count()
+      val nLen = j.filter(least(col("x.n_sh"), col("y.n_sh")).cast("double") >=
+        lit(0.8) * greatest(col("x.n_sh"), col("y.n_sh")) - lit(1e-9)).count()
+      println(s"[capprobe] q21 bandJoinRows=$nAll -> $nLen")
+      arr.unpersist(); spark.catalog.clearCache()
+    }
+
+    // q49 shared-freq restructure: job count of the timed query
+    locally {
+      val sc = spark.sparkContext
+      graft.operators.PipelineQueries.q49JaccardCapped(spark, dir).count() // warm
+      spark.catalog.clearCache()
+      graft.pipeline.DocumentsAdapter.clearCache()
+      val before = sc.statusTracker.getJobIdsForGroup(null).length
+      val t0 = System.nanoTime()
+      graft.operators.PipelineQueries.q49JaccardCapped(spark, dir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val after = sc.statusTracker.getJobIdsForGroup(null).length
+      println(f"[capprobe] q49 timed run: jobs=${after - before} sec=$sec%.2f")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,17 @@
+package graft.tools
+import graft.core.GraftSession
+object FinalPlan {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.local(32, "final-plan")
+    for (n <- args.drop(1)) {
+      val df = graft.SparkEntry.queries(n)(spark, dir)
+      df.count()
+      println(s"================= $n (final) =================")
+      println(df.queryExecution.executedPlan.toString.take(12000))
+      spark.catalog.clearCache()
+      graft.pipeline.DocumentsAdapter.clearCache()
+    }
+    spark.stop()
+  }
+}
