@@ -1,0 +1,66 @@
+package graft.tools
+
+import graft.core.{GraftSession, Tables}
+import graft.dedup.Dedup
+import org.apache.spark.sql.functions._
+
+/** Dev-only A/B of the prefix-ranking shapes in the PPJoin candidate path
+  * (q23/q57): the WINDOW form (exchange + per-partition sort of the full
+  * exploded relation) vs a GROUP form (hash-agg regroup to per-doc struct
+  * arrays, per-row array_sort, slice to the prefix, posexplode). Both emit
+  * the same (id, shingle, n_sh, rk) prefix relation; the question is which
+  * physical shape is cheaper. Run at sf0.1 with repeats.
+  */
+object RankProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.drop(1).headOption.flatMap(_.toIntOption).getOrElse(3)
+    val spark = GraftSession.local(32, "rank-probe")
+
+    def t(name: String)(f: => Unit): Unit = {
+      val xs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[rank] $name%-28s min=${xs.min}%.3f all=${xs.map(x => f"$x%.3f").mkString(",")}")
+    }
+
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    val threshold = 0.5 // q57's setting - the heavier prefix
+    val arr = Dedup.shingleArrays(docs, "doc_id", "text", 3, Seq("lang"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    arr.count()
+
+    val withN = arr.select(col("doc_id"), col("lang"),
+      size(col("sh_arr")).cast("long").as("n_sh"),
+      explode(col("sh_arr")).as("shingle"))
+    val sh = arr.select(col("doc_id"), col("lang"), explode(col("sh_arr")).as("shingle"))
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("shf"))
+
+    import org.apache.spark.sql.expressions.Window
+    val rankedWindow = withN.join(freq, "shingle")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("shf").asc, col("shingle").asc)))
+      .filter(col("rk") <= floor(lit(1.0 - threshold) * col("n_sh")) + 2)
+
+    val grouped = withN.join(freq, "shingle")
+      .groupBy(col("doc_id"), col("lang"), col("n_sh"))
+      .agg(collect_list(struct(col("shf"), col("shingle"))).as("fs"))
+      .select(col("doc_id"), col("lang"), col("n_sh"),
+        posexplode(slice(array_sort(col("fs")), lit(1),
+          (floor(lit(1.0 - threshold) * col("n_sh")) + lit(2)).cast("int"))))
+      .select(col("doc_id"), col("lang"), col("n_sh"),
+        (col("pos") + 1).as("rk"), col("col.shingle").as("shingle"))
+
+    // equivalence check once
+    val a = rankedWindow.select("doc_id", "shingle", "n_sh", "rk")
+    val b = grouped.select("doc_id", "shingle", "n_sh", "rk")
+    val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+    println(s"[rank] relation diff rows = $diff (must be 0)")
+
+    t("window form")(rankedWindow.write.format("noop").mode("overwrite").save())
+    t("group form")(grouped.write.format("noop").mode("overwrite").save())
+    t("window form (2)")(rankedWindow.write.format("noop").mode("overwrite").save())
+    t("group form (2)")(grouped.write.format("noop").mode("overwrite").save())
+    spark.stop()
+  }
+}
