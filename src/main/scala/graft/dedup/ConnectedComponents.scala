@@ -63,10 +63,19 @@ object ConnectedComponents {
       .union(e.select(col("b").as("u"), col("a").as("v")))
     val m = d.groupBy("u").agg(min("v").as("mn"))
       .select(col("u"), least(col("mn"), col("u")).as("m"))
-    d.join(m, "u")
-      .where(col("v") > col("u"))
+    // r6: the join probes the CANONICAL orientation only — the round-5 form
+    // joined the doubled relation and then filtered `v > u`, but canon
+    // guarantees a < b, so the surviving rows are exactly e's own (u=a, v=b)
+    // rows: half the join input for the identical output. The trailing
+    // `.distinct()` is gone too: each canonical edge (a, b) emits exactly
+    // ONE row (m(a), b), so output cardinality is |E| with or without it
+    // (duplicates are value-collapses of distinct edges, e.g. (a₁,b),(a₂,b)
+    // with m(a₁) = m(a₂)); smallStar's groupBy-min is duplicate-insensitive
+    // and the iteration's canon() distinct produces the identical post-canon
+    // relation — one full-edge exchange per round removed (guide §2.4).
+    e.select(col("a").as("u"), col("b").as("v"))
+      .join(m, "u")
       .select(col("m").as("a"), col("v").as("b"))
-      .distinct()
   }
 
   /** Small-star: every node u connects its smaller-or-equal neighborhood

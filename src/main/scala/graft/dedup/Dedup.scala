@@ -241,7 +241,7 @@ object Dedup {
           least(col("na"), col("nb")).cast("double") >=
             lit(threshold) * greatest(col("na"), col("nb")) - lit(1e-9))
         .select("a_id", "b_id").distinct()
-      verifyJaccard(cands, sh, idCol, threshold, sizes)
+      verifyJaccard(cands, arr, idCol, threshold)
     }
   }
 
@@ -284,7 +284,6 @@ object Dedup {
     val arr = shingleArrays(df, idCol, textCol, n, blockCols)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sh = explodeShingles(arr, idCol, blockCols)
-    val sizes = sizesOf(arr, idCol)
     val withN = arr.select((idCol +: blockCols).map(col) :+
       size(col("sh_arr")).cast("long").as("n_sh") :+
       explode(col("sh_arr")).as("shingle"): _*)
@@ -318,7 +317,7 @@ object Dedup {
         (lit(1.0) + least(col("na") - col("ra"), col("nb") - col("rb"))) >=
           minOverlap - lit(1e-9))
       .select("a_id", "b_id").distinct()
-    (verifyJaccard(cands, sh, idCol, threshold, sizes), () => { arr.unpersist(); () })
+    (verifyJaccard(cands, arr, idCol, threshold), () => { arr.unpersist(); () })
   }
 
   /** Debug guard for [[shingles]]' unique-id contract (see its scaladoc):
@@ -352,37 +351,36 @@ object Dedup {
       s"threshold must be > 0 (got $threshold): zero-overlap pairs are never " +
         "emitted by intersection-counting verification")
 
-  /** Exact-Jaccard verification of candidate pairs by intersection
-    * COUNTING on candidate-restricted shingle rows — never materializes a
-    * document's full shingle set in one row (a `collect_set` per document
-    * caps out on large documents and ships every set through the shuffle).
-    * Join volume is |cands| · avg-shingles, bounded by the candidate count,
-    * and every stage is a plain hash join / hash aggregate.
+  /** Exact-Jaccard verification of candidate pairs against the cached
+    * ARRAY relation ([[shingleArrays]]): two id-keyed joins fetch each
+    * side's distinct-shingle array and the intersection is a per-row
+    * `array_intersect` — where the round-5 shape joined the candidate set
+    * against the FULL EXPLODED corpus twice (the b-side probe streamed
+    * every (id, shingle) row of the corpus through the join even for a
+    * handful of candidates) and then paid a groupBy exchange to count the
+    * matches (guide §2.4). The arrays exist per row by construction (a
+    * document's shingles derive from its one input row — no collect_set,
+    * no set ever built across rows; an array is the same order of bytes
+    * as the content column itself), candidates are the SMALL side of both
+    * joins (broadcastable after the prefix/length filters), and the
+    * aggregation disappears entirely.
+    *
+    * The exact length filter (J ≥ t ⇒ min(na,nb) ≥ t·max, 1e-9 rounding
+    * slack over integer operands) still runs BEFORE the per-row intersect
+    * so can't-qualify candidates never pay it. Result-preserving: dropped
+    * pairs had j < t by the bound; `array_intersect` over per-row-distinct
+    * arrays counts exactly the shared shingles the exploded join counted.
     */
-  private def verifyJaccard(cands: DataFrame, sh: DataFrame, idCol: String,
-      threshold: Double, sizes: DataFrame): DataFrame = {
-    val aSh = sh.select(col(idCol).as("a_id"), col("shingle"))
-    val bSh = sh.select(col(idCol).as("b_id"), col("shingle"))
-    // r6: sizes attached BEFORE the intersection joins — (a) the exact
-    // length filter (J ≥ t ⇒ min(na,nb) ≥ t·max, 1e-9 rounding slack over
-    // integer operands) drops can't-qualify candidates before the heavy
-    // candidate × shingle joins, and (b) na/nb ride the groupBy keys, so
-    // the round-5 trailing re-joins of the sizes relation are gone
-    // (guide §3.2 pre-filter + §2.4 remove shuffles). Both are
-    // result-preserving: dropped pairs had j < t by the bound, and the
-    // grouping keys (a_id, b_id) functionally determine (na, nb).
-    val inter = cands
-      .join(sizes.select(col(idCol).as("a_id"), col("n_sh").as("na")), "a_id")
-      .join(sizes.select(col(idCol).as("b_id"), col("n_sh").as("nb")), "b_id")
+  private def verifyJaccard(cands: DataFrame, arr: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
+    cands
+      .join(arr.select(col(idCol).as("a_id"), col("sh_arr").as("sa")), "a_id")
+      .join(arr.select(col(idCol).as("b_id"), col("sh_arr").as("sb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("sa"), col("sb"),
+        size(col("sa")).cast("long").as("na"), size(col("sb")).cast("long").as("nb"))
       .filter(least(col("na"), col("nb")).cast("double") >=
         lit(threshold) * greatest(col("na"), col("nb")) - lit(1e-9))
-      .join(aSh, "a_id")                 // (a, b, shingle of a)
-      .join(bSh, Seq("b_id", "shingle")) // keep shingles present in b too
-      .groupBy(col("a_id"), col("b_id"), col("na"), col("nb"))
-      // sh carries each (id, shingle) once — guaranteed by [[shingles]]'
-      // per-row dedup under its unique-id contract (see its scaladoc)
-      .agg(count(lit(1)).as("inter"))
-    inter
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("j", round(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")), 6))
       .filter(col("j") >= threshold)
@@ -529,9 +527,7 @@ object Dedup {
       .filter(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
       .distinct()
-    val sizes = sizesOf(nonEmpty, idCol)
-    (verifyJaccard(cands, explodeShingles(arr, idCol, Seq.empty), idCol, threshold, sizes),
-      () => { arr.unpersist(); () })
+    (verifyJaccard(cands, arr, idCol, threshold), () => { arr.unpersist(); () })
   }
 
   /** The 100 TB composition: collapse identical texts to their min-id

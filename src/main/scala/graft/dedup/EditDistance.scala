@@ -115,8 +115,24 @@ object EditDistance {
     }
     val prb = {
       val (start, slen) = segStart(col("pl"), col("i"))
-      val lo = greatest(start - maxDist, lit(0))
-      val hi = least(start + maxDist, col("len") - slen)
+      // Multi-match-aware substring selection (PassJoin, Li/Deng/Feng/Wang,
+      // VLDB 2012 — public knowledge): the matched copy of partner segment i
+      // sits at shift δ = p − start with
+      //   δ ∈ [max(−i, Δ − (d − i)),  min(i, Δ + (d − i))],  Δ = len − pl,
+      // instead of the full ±d window: at least i edits precede the first
+      // untouched segment (each earlier segment is touched by a distinct
+      // edit positioned before it) and at least |Δ − δ| must follow (the
+      // suffix length difference), so i + |Δ − δ| ≤ d bounds one side and
+      // the paper's multi-match argument bounds |δ| ≤ i (a match shifted
+      // further is always accompanied by an in-window match of another
+      // segment). Cuts probe explode rows ~4× at d = 3 (28 → ≤ 8 positions
+      // per partner length) while candidate completeness is unchanged —
+      // pinned by the naive-join oracle (q72) and the exhaustive small-
+      // alphabet differential spec (guide §2.3: shuffle fewer rows, §3.2:
+      // lossless candidate cut).
+      val delta = col("len") - col("pl")
+      val lo = greatest(start + greatest(-col("i"), delta - (lit(maxDist) - col("i"))), lit(0))
+      val hi = least(start + least(col("i"), delta + (lit(maxDist) - col("i"))), col("len") - slen)
       keyed
         // partner (= indexed, shorter-or-equal side) lengths within reach
         .withColumn("pl", explode(sequence(greatest(col("len") - maxDist, lit(0)), col("len"))))

@@ -1,0 +1,57 @@
+package graft.tools
+
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import graft.core.GraftSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+
+/** Dev-only: deterministic(ish) execution-shape evidence for q57 — job
+  * count, stage count, and total shuffle-write records/bytes summed over
+  * the whole query via a SparkListener. Wall-clock on this host is hostage
+  * to vCPU overcommit; shuffled ROWS are not (AQE can change partition
+  * counts but not the record totals crossing each exchange).
+  */
+object Q57ShuffleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.local(32, "q57-shuffle-probe")
+    val jobs = new AtomicInteger(0)
+    val stages = new AtomicInteger(0)
+    val shufRecords = new AtomicLong(0L)
+    val shufBytes = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        val m = e.stageInfo.taskMetrics
+        if (m != null) {
+          shufRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          shufBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    })
+    val n = graft.operators.PipelineQueries.q57DedupClusters(spark, dir).count()
+    Thread.sleep(2000) // let the listener bus drain
+    println(f"[q57sh] rows=$n%,d jobs=${jobs.get} stages=${stages.get} " +
+      f"shuffleRecords=${shufRecords.get}%,d shuffleBytes=${shufBytes.get}%,d")
+
+    // Plan shape of ONE large-star/small-star alternation over a canonical
+    // edge relation: Exchange count per round (the unit the iteration pays
+    // ~log n times). Uses the same private composition via reflection-free
+    // re-derivation: connectedComponents on a 1-round-convergent star graph
+    // is not inspectable, so count Exchanges in the first round's plan by
+    // running the public API on a fixed edge set with maxIter=1... instead,
+    // approximate: explain the full CC of a tiny path graph (2 rounds) and
+    // count Exchange nodes in the executed plans is driver-side; simplest
+    // robust proxy: count shuffle records of CC alone on a fixed edge list.
+    import spark.implicits._
+    val edges = (0L until 2000L).map(i => (i, i + 1)).toDF("a", "b") // one path: worst-case rounds
+    jobs.set(0); stages.set(0); shufRecords.set(0L); shufBytes.set(0L)
+    val labels = graft.dedup.ConnectedComponents.connectedComponents(edges, "a", "b")
+    val c = labels.count()
+    Thread.sleep(2000)
+    println(f"[q57sh] ccOnly path2000 labels=$c%,d jobs=${jobs.get} stages=${stages.get} " +
+      f"shuffleRecords=${shufRecords.get}%,d shuffleBytes=${shufBytes.get}%,d")
+    spark.stop()
+  }
+}

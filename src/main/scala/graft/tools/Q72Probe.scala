@@ -1,0 +1,86 @@
+package graft.tools
+
+import graft.core.{GraftSession, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dev-only: deterministic candidate-volume evidence for the q72
+  * multi-match-aware substring window (PassJoin selection) vs the former
+  * full ±d window. Re-implements both probe-side generators inline (the
+  * production code carries only the tight window) and counts, for each:
+  * probe explode rows, raw candidate-join rows, and deduped candidate
+  * pairs — the final verified pairs must be identical (asserted here and
+  * by the q72 oracle / BloomFuzzySpec).
+  */
+object Q72Probe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.local(32, "q72-probe")
+    val maxDist = 3
+    val m = maxDist + 1
+
+    val docs = Tables.documents(spark, dir)
+    val key: Column = array_join(slice(split(col("text"), " "), 1, 3), " ")
+    val keyed = docs.select(col("doc_id").as("id"), key.as("k"))
+      .withColumn("len", length(col("k")))
+
+    def segStart(lenCol: Column, i: Column): (Column, Column) = {
+      val q = (lenCol / m).cast("int")
+      val r = lenCol % m
+      val firstLong = lit(m) - r
+      val start = when(i < firstLong, i * q)
+        .otherwise(firstLong * q + (i - firstLong) * (q + lit(1)))
+      val slen = when(i < firstLong, q).otherwise(q + lit(1))
+      (start, slen)
+    }
+    val iCol = explode(sequence(lit(0), lit(maxDist)))
+    val idx = {
+      val (start, slen) = segStart(col("len"), col("i"))
+      keyed.withColumn("i", iCol)
+        .select(col("id").as("a_id"), col("len").as("a_len"),
+          col("i").as("a_i"), xxhash64(col("k").substr(start + 1, slen)).as("a_seg"))
+    }
+
+    def prb(wide: Boolean): DataFrame = {
+      val (start, slen) = segStart(col("pl"), col("i"))
+      val delta = col("len") - col("pl")
+      val lo = if (wide) greatest(start - maxDist, lit(0))
+        else greatest(start + greatest(-col("i"), delta - (lit(maxDist) - col("i"))), lit(0))
+      val hi = if (wide) least(start + maxDist, col("len") - slen)
+        else least(start + least(col("i"), delta + (lit(maxDist) - col("i"))), col("len") - slen)
+      keyed
+        .withColumn("pl", explode(sequence(greatest(col("len") - maxDist, lit(0)), col("len"))))
+        .withColumn("i", iCol)
+        .withColumn("slen", slen)
+        .withColumn("p", explode(when(lo <= hi, sequence(lo, hi))))
+        .select(col("id").as("b_id"), col("len").as("b_len"),
+          col("pl"), col("i").as("b_i"),
+          xxhash64(col("k").substr(col("p") + 1, col("slen"))).as("b_sub"))
+    }
+
+    def volumes(wide: Boolean): (Long, Long, Long, Long) = {
+      val p = prb(wide)
+      val joined = idx.join(p,
+          col("a_i") === col("b_i") && col("a_len") === col("pl") &&
+            col("a_seg") === col("b_sub"))
+        .filter(col("a_len") < col("b_len") ||
+          (col("a_len") === col("b_len") && col("a_id") =!= col("b_id")))
+      val cands = joined.select(
+          least(col("a_id"), col("b_id")).as("a_id"),
+          greatest(col("a_id"), col("b_id")).as("b_id"))
+        .dropDuplicates("a_id", "b_id")
+      val verified = cands
+        .join(keyed.select(col("id").as("a_id"), col("k").as("a_k")), "a_id")
+        .join(keyed.select(col("id").as("b_id"), col("k").as("b_k")), "b_id")
+        .filter(levenshtein(col("a_k"), col("b_k")) <= maxDist)
+      (p.count(), joined.count(), cands.count(), verified.count())
+    }
+
+    val (pw, jw, cw, vw) = volumes(wide = true)
+    val (pt, jt, ct, vt) = volumes(wide = false)
+    println(f"[q72] wide  ±d window : probeRows=$pw%,d joinRows=$jw%,d candPairs=$cw%,d verified=$vw%,d")
+    println(f"[q72] tight mm-aware : probeRows=$pt%,d joinRows=$jt%,d candPairs=$ct%,d verified=$vt%,d")
+    require(vw == vt, s"verified pair counts diverged: $vw vs $vt")
+    spark.stop()
+  }
+}

@@ -1,0 +1,44 @@
+package graft.tools
+
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import graft.core.GraftSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+
+/** Dev-only: per-query job/stage counts and shuffle-write record/byte totals
+  * via a SparkListener — the wall-clock-independent execution-shape metric
+  * (this host's vCPU overcommit makes seconds unusable for A/B in bad
+  * windows; shuffled ROWS and job counts are deterministic).
+  *
+  * Usage: runMain graft.tools.QShuffle [query...]
+  */
+object QShuffle {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = if (args.nonEmpty) args.toSeq else Seq("q23_ngram_jaccard")
+    val spark = GraftSession.local(32, "q-shuffle-probe")
+    val jobs = new AtomicInteger(0)
+    val shufRecords = new AtomicLong(0L)
+    val shufBytes = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null) {
+          shufRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          shufBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    })
+    names.foreach { name =>
+      spark.catalog.clearCache()
+      graft.pipeline.DocumentsAdapter.clearCache()
+      jobs.set(0); shufRecords.set(0L); shufBytes.set(0L)
+      val n = graft.SparkEntry.queries(name)(spark, dir).count()
+      Thread.sleep(1500) // listener bus drain
+      println(f"[qsh] $name%-28s rows=$n%,d jobs=${jobs.get} " +
+        f"shuffleRecords=${shufRecords.get}%,d shuffleBytes=${shufBytes.get}%,d")
+    }
+    spark.stop()
+  }
+}

@@ -110,6 +110,34 @@ class BloomFuzzySpec extends AnyFunSuite {
       s"degenerate-length divergence: missing=${(naive -- got).take(8)} extra=${(got -- naive).take(8)}")
   }
 
+  test("segmented join multi-match-aware window is complete (small-alphabet fuzz, d=1..3)") {
+    import spark.implicits._
+    // A 2-letter alphabet makes near-pairs DENSE across every length delta
+    // 0..d — the sharpest completeness probe for the PassJoin substring
+    // window (any off-by-one in the δ bounds drops real pairs here).
+    val rng = new scala.util.Random(0xed17d157L)
+    val rows = (0 until 90).map { i =>
+      (i.toLong, Seq.fill(rng.nextInt(11))(if (rng.nextBoolean()) 'a' else 'b').mkString)
+    }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val df = rows.toDF("doc_id", "k")
+    (1 to 3).foreach { d =>
+      val naive = (for { (ia, ka) <- rows; (ib, kb) <- rows
+        if ia < ib && lev(ka, kb) <= d } yield (ia, ib, lev(ka, kb))).toSet
+      val got = EditDistance.pairsSegmented(df, col("doc_id"), col("k"), maxDist = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(naive.nonEmpty, s"d=$d generator produced no qualifying pairs")
+      assert(got == naive,
+        s"d=$d divergence: missing=${(naive -- got).take(8)} extra=${(got -- naive).take(8)}")
+    }
+  }
+
   test("edit-distance pairs rejects a lossy bin width") {
     import spark.implicits._
     val df = Seq((1L, "a")).toDF("doc_id", "k")
