@@ -26,24 +26,39 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamSnapshotSink {
 
   /** Run `stream` to completion (availableNow), committing every micro-batch
-    * to `table` under `keyPrefix`-`<key(df)>`. Returns the number of batches
-    * the engine delivered (committed + deduplicated replays).
+    * to `table` under `keyPrefix`-`<k>` for `key(df) = Some(k)`. Returns the
+    * number of batches the engine delivered (committed + deduplicated
+    * replays).
+    *
+    * `key` returns None for a batch with nothing to commit — one aggregation
+    * action decides BOTH emptiness and the key (an aggregate over an empty
+    * batch is NULL). The round-5 shape paid a separate `df.isEmpty` scan
+    * before the key action: two passes over every micro-batch where one
+    * carries the same information (guide §1.2 — fewer passes; at streaming
+    * scale the emptiness probe re-read each batch's source files).
     */
   def ingest(stream: DataFrame, table: SnapshotTable, keyPrefix: String,
-      checkpointDir: String, key: DataFrame => String): Long = {
+      checkpointDir: String, key: DataFrame => Option[String]): Long = {
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (df: DataFrame, _: Long) =>
         batches.incrementAndGet()
-        // no data, no commit (and no key computable from an empty batch)
-        if (!df.isEmpty) table.append(df, s"$keyPrefix-${key(df)}")
+        key(df).foreach(k => table.append(df, s"$keyPrefix-$k"))
         ()
       }
       .start()
     q.awaitTermination()
     batches.get()
+  }
+
+  /** Min-of-`idCol` content key: Some(min) on data, None on an empty batch
+    * (the min of nothing is NULL) — the one-action emptiness+key probe.
+    */
+  def minIdKey(idCol: String)(df: DataFrame): Option[String] = {
+    val r = df.agg(min(idCol)).head()
+    if (r.isNullAt(0)) None else Some(r.get(0).toString)
   }
 
   /** q76: the documents table streamed file-by-file (`maxFilesPerTrigger=1`
@@ -76,8 +91,7 @@ object StreamSnapshotSink {
     val stream_s = StreamingQualityFilter.streamSession(s)
     val stream = stream_s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", 1).parquet(split.toString)
-    val delivered = ingest(stream, t, "q76", ckpt.toString,
-      df => df.agg(min("doc_id")).head().getLong(0).toString)
+    val delivered = ingest(stream, t, "q76", ckpt.toString, minIdKey("doc_id"))
     Staging.deleteRecursively(ckpt)
 
     // replay: re-offer already-committed content under its own key — the

@@ -48,7 +48,7 @@ class StreamSnapshotSinkSpec extends AnyFunSuite {
       val stream = spark.readStream.schema(data.schema)
         .option("maxFilesPerTrigger", 1).parquet(in.toString)
       val n = StreamSnapshotSink.ingest(stream, t, "sss", ckpt.toString,
-        df => df.agg(min("doc_id")).head().getLong(0).toString)
+        StreamSnapshotSink.minIdKey("doc_id"))
       Staging.deleteRecursively(ckpt)
       n
     }
@@ -74,7 +74,7 @@ class StreamSnapshotSinkSpec extends AnyFunSuite {
       .schema(Seq.empty[(Long, String)].toDF("doc_id", "text").schema)
       .parquet(in.toString)
     StreamSnapshotSink.ingest(stream, t, "sse", ckpt.toString,
-      df => df.agg(min("doc_id")).head().getLong(0).toString)
+      StreamSnapshotSink.minIdKey("doc_id"))
     assert(t.snapshots().isEmpty, "an empty batch produced a snapshot commit")
     Seq(ckpt, root, in).foreach(Staging.deleteRecursively)
   }
